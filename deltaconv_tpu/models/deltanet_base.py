@@ -1,0 +1,128 @@
+"""DeltaNet backbone: operator construction + stacked DeltaConvs.
+
+Reference: /root/reference/deltaconv/models/deltanet_base.py:8-87.
+
+The reference rebuilds the kNN graph and the grad/div operators every
+forward pass on the (augmented) positions — operator construction *is*
+the per-step hot path, so it lives inside the jitted model call here
+too, expressed entirely with static shapes so XLA compiles it once.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import flax.linen as lnn
+import jax
+import jax.numpy as jnp
+
+from ..geometry.frames import build_tangent_basis, estimate_basis
+from ..geometry.grad_div import GradDiv, build_grad_div
+from ..geometry.knn import knn
+from ..nn.deltaconv import DeltaConv
+
+__all__ = ["DeltaNetBase", "build_operators"]
+
+
+def build_operators(
+    pos,
+    k: int,
+    normal=None,
+    point_mask=None,
+    kernel_width: float = 1.0,
+    regularizer: float = 0.001,
+    normal_k: int = 10,
+) -> GradDiv:
+    """Builds the per-cloud grad/div operators, batched over axis 0.
+
+    Pipeline per cloud (reference deltanet_base.py:42-69): kNN graph
+    (self-loop in slot 0); tangent frames from given normals
+    (``build_tangent_basis``) or estimated from a ``normal_k``-NN graph
+    with ``orientation=pos`` (``estimate_basis``); then the MLS grad/div
+    build.
+
+    Args:
+      pos: ``[B, N, 3]`` or ``[N, 3]`` positions.
+      k: neighbors for the conv/operator graph (incl. self).
+      normal: optional matching-shape unit normals.
+      point_mask: optional ``[B, N]`` / ``[N]`` bool validity.
+      kernel_width, regularizer: WLS parameters.
+      normal_k: neighbors used for basis estimation when no normals.
+
+    Returns:
+      :class:`GradDiv` (batched when ``pos`` is batched).
+    """
+
+    def single(pos, normal, point_mask):
+        nbr_idx, nbr_mask = knn(pos, k, point_mask)
+        if normal is None:
+            nbr_n, mask_n = knn(pos, normal_k, point_mask)
+            n, xb, yb = estimate_basis(pos, nbr_n, mask_n, orientation=pos)
+        else:
+            n = normal
+            xb, yb = build_tangent_basis(n)
+        return build_grad_div(
+            pos, n, xb, yb, nbr_idx, nbr_mask, point_mask,
+            kernel_width=kernel_width, regularizer=regularizer,
+        )
+
+    if pos.ndim == 2:
+        return single(pos, normal, point_mask)
+    in_axes = (0, None if normal is None else 0,
+               None if point_mask is None else 0)
+    return jax.vmap(single, in_axes=in_axes)(pos, normal, point_mask)
+
+
+class DeltaNetBase(lnn.Module):
+    """DGCNN-style backbone of sequential DeltaConv blocks.
+
+    Attributes mirror the reference constructor
+    (deltanet_base.py:9-39): the first conv is centralized, the last
+    drops the vector stream, and every intermediate scalar output is
+    returned for multi-scale concatenation by the heads.
+    """
+
+    conv_channels: Sequence[int]
+    mlp_depth: int = 1
+    num_neighbors: int = 20
+    grad_regularizer: float = 0.001
+    grad_kernel_width: float = 1.0
+    centralize_first: bool = True
+
+    @lnn.compact
+    def __call__(self, pos, normal=None, features=None, point_mask=None,
+                 train: bool = False):
+        """Args:
+          pos: ``[B, N, 3]`` positions (operators are rebuilt on them).
+          normal: optional ``[B, N, 3]`` normals.
+          features: optional ``[B, N, C]`` input scalars (default: pos).
+          point_mask: optional ``[B, N]`` bool validity.
+
+        Returns: list of per-stage scalar outputs ``[B, N, C_i]``.
+        """
+        gd = build_operators(
+            pos,
+            self.num_neighbors,
+            normal=normal,
+            point_mask=point_mask,
+            kernel_width=self.grad_kernel_width,
+            regularizer=self.grad_regularizer,
+        )
+
+        x = features if features is not None else pos
+        v = gd.grad(x)
+
+        out = []
+        n_convs = len(self.conv_channels)
+        for i, ch in enumerate(self.conv_channels):
+            last = i == n_convs - 1
+            x, v = DeltaConv(
+                out_channels=ch,
+                depth=self.mlp_depth,
+                centralized=(self.centralize_first and i == 0),
+                vector=not last,
+                name=f"conv{i}",
+            )(x, v, gd, train=train)
+            out.append(x)
+        return out

@@ -1,0 +1,64 @@
+"""DeltaNet classification head.
+
+Reference: /root/reference/deltaconv/models/deltanet_classification.py:9-50.
+Backbone stage outputs are concatenated, embedded to 1024 channels,
+globally max+mean pooled, and classified through a dropout MLP head.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as lnn
+import jax.numpy as jnp
+
+from ..nn.mlp import MLP
+from .deltanet_base import DeltaNetBase
+from .pool import global_max_pool, global_mean_pool
+
+__all__ = ["DeltaNetClassification"]
+
+
+class DeltaNetClassification(lnn.Module):
+    """Point-cloud classification with DeltaConv.
+
+    Defaults match the reference: conv channels [64, 64, 128, 256],
+    mlp depth 1, k=20, lambda=1e-3, kernel width 1.
+    """
+
+    num_classes: int
+    conv_channels: Sequence[int] = (64, 64, 128, 256)
+    mlp_depth: int = 1
+    num_neighbors: int = 20
+    grad_regularizer: float = 0.001
+    grad_kernel_width: float = 1.0
+    embedding_size: int = 1024
+    dropout: float = 0.5
+
+    @lnn.compact
+    def __call__(self, pos, normal=None, features=None, point_mask=None,
+                 train: bool = False):
+        """Returns logits ``[B, num_classes]``."""
+        conv_out = DeltaNetBase(
+            conv_channels=self.conv_channels,
+            mlp_depth=self.mlp_depth,
+            num_neighbors=self.num_neighbors,
+            grad_regularizer=self.grad_regularizer,
+            grad_kernel_width=self.grad_kernel_width,
+            name="deltanet_base",
+        )(pos, normal=normal, features=features, point_mask=point_mask,
+          train=train)
+
+        x = jnp.concatenate(conv_out, axis=-1)
+        x = MLP([self.embedding_size], name="lin_embedding")(x, train=train)
+
+        x = jnp.concatenate(
+            [global_max_pool(x, point_mask), global_mean_pool(x, point_mask)],
+            axis=-1,
+        )
+
+        x = MLP([512], name="head0")(x, train=train)
+        x = lnn.Dropout(self.dropout, deterministic=not train)(x)
+        x = MLP([256], name="head1")(x, train=train)
+        x = lnn.Dropout(self.dropout, deterministic=not train)(x)
+        return lnn.Dense(self.num_classes, name="head_out")(x)

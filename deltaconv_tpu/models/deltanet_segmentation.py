@@ -1,0 +1,87 @@
+"""DeltaNet segmentation head.
+
+Reference: /root/reference/deltaconv/models/deltanet_segmentation.py:9-68.
+Backbone stage outputs are concatenated and embedded; a global max pool
+is broadcast back per point, optionally joined by an embedded
+categorical one-hot (ShapeNet's 16 object categories), re-concatenated
+with the per-stage features, and decoded to per-point logits.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as lnn
+import jax.numpy as jnp
+
+from ..nn.mlp import MLP
+from ..nn.nonlin import leaky_relu02
+from .deltanet_base import DeltaNetBase
+from .pool import global_max_pool
+
+__all__ = ["DeltaNetSegmentation"]
+
+
+class DeltaNetSegmentation(lnn.Module):
+    """Per-point segmentation with DeltaConv.
+
+    Defaults match the reference: conv channels [64, 128, 256],
+    mlp depth 2, embedding 1024, k=20, lambda=1e-3.
+    """
+
+    num_classes: int
+    conv_channels: Sequence[int] = (64, 128, 256)
+    mlp_depth: int = 2
+    embedding_size: int = 1024
+    categorical_vector: bool = False
+    num_neighbors: int = 20
+    grad_regularizer: float = 0.001
+    grad_kernel_width: float = 1.0
+    dropout: float = 0.5
+
+    @lnn.compact
+    def __call__(self, pos, normal=None, features=None, category=None,
+                 point_mask=None, train: bool = False):
+        """Args as the classification model, plus ``category``:
+        ``[B, 16]`` one-hot object category (required when
+        ``categorical_vector=True``). Returns ``[B, N, num_classes]``.
+        """
+        conv_out = DeltaNetBase(
+            conv_channels=self.conv_channels,
+            mlp_depth=self.mlp_depth,
+            num_neighbors=self.num_neighbors,
+            grad_regularizer=self.grad_regularizer,
+            grad_kernel_width=self.grad_kernel_width,
+            name="deltanet_base",
+        )(pos, normal=normal, features=features, point_mask=point_mask,
+          train=train)
+
+        x = jnp.concatenate(conv_out, axis=-1)
+        x = MLP([self.embedding_size], name="lin_global")(x, train=train)
+
+        n = pos.shape[-2]
+        x_max = global_max_pool(x, point_mask)  # [B, E]
+        x_max = jnp.broadcast_to(
+            x_max[..., None, :], x_max.shape[:-1] + (n, x_max.shape[-1])
+        )
+
+        if self.categorical_vector:
+            if category is None:
+                raise ValueError(
+                    "categorical_vector=True requires a category one-hot"
+                )
+            cat = MLP([64], name="lin_categorical")(category, train=train)
+            cat = jnp.broadcast_to(
+                cat[..., None, :], cat.shape[:-1] + (n, cat.shape[-1])
+            )
+            x_max = jnp.concatenate([x_max, cat], axis=-1)
+
+        x = jnp.concatenate([x_max] + conv_out, axis=-1)
+
+        x = MLP([256], name="head0")(x, train=train)
+        x = lnn.Dropout(self.dropout, deterministic=not train)(x)
+        x = MLP([256], name="head1")(x, train=train)
+        x = lnn.Dropout(self.dropout, deterministic=not train)(x)
+        x = lnn.Dense(128, name="head2")(x)
+        x = leaky_relu02(x)
+        return lnn.Dense(self.num_classes, name="head_out")(x)

@@ -1,0 +1,103 @@
+"""The DeltaConv layer: coordinate-independent scalar+vector convolution.
+
+Reference: /root/reference/deltaconv/nn/deltaconv.py:8-73.
+
+Scalar stream:
+  ``x' = maxagg_k(s_mlp_max(x)[nbr]) + s_mlp([x, div v, curl v, |v|])``
+  (the first/centralized variant runs ``s_mlp_max`` on ``x_j - x_i``
+  per edge before aggregating).
+Vector stream (skipped on the last layer):
+  ``v' = v_mlp(I_J([v, hodge_laplacian(v), grad x']))``
+
+The PyG ragged scatter-max becomes a dense masked max over the fixed
+``[N, K]`` neighbor axis — a plain VPU reduction, no scatter at all.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as lnn
+import jax
+import jax.numpy as jnp
+
+from ..geometry.grad_div import GradDiv
+from ..geometry.operators import I_J, curl, hodge_laplacian, norm
+from .mlp import MLP, VectorMLP
+
+__all__ = ["DeltaConv", "gather_neighbors"]
+
+
+def gather_neighbors(x, nbr_idx):
+    """Gather per-neighbor features: ``x[..., N, C], idx[..., N, K] ->
+    [..., N, K, C]`` with any number of leading batch axes."""
+    if nbr_idx.ndim == 2:
+        return x[nbr_idx]
+    return jax.vmap(gather_neighbors)(x, nbr_idx)
+
+
+def _aggregate(h, nbr_mask, aggr: str):
+    """Masked aggregation over the neighbor axis: [..., K, C] -> [..., C]."""
+    mask = nbr_mask[..., None]
+    if aggr == "max":
+        neg = jnp.asarray(-jnp.inf, h.dtype)
+        out = jnp.max(jnp.where(mask, h, neg), axis=-2)
+        # Rows with no valid neighbor (padded points) -> 0, not -inf.
+        return jnp.where(jnp.any(nbr_mask, axis=-1)[..., None], out, 0.0)
+    if aggr == "mean":
+        m = mask.astype(h.dtype)
+        cnt = jnp.maximum(jnp.sum(m, axis=-2), 1.0)
+        return jnp.sum(h * m, axis=-2) / cnt
+    if aggr == "sum" or aggr == "add":
+        return jnp.sum(h * mask.astype(h.dtype), axis=-2)
+    raise ValueError(f"unknown aggregation '{aggr}'")
+
+
+class DeltaConv(lnn.Module):
+    """One DeltaConv block.
+
+    Attributes:
+      out_channels: output width of both streams.
+      depth: number of layers in each internal MLP.
+      centralized: centralize scalar features before max aggregation
+        (used for the first conv operating on raw positions).
+      vector: propagate the vector stream (False on the last layer).
+      aggr: scalar-stream aggregation ('max', 'mean', 'sum').
+    """
+
+    out_channels: int
+    depth: int = 1
+    centralized: bool = False
+    vector: bool = True
+    aggr: str = "max"
+
+    @lnn.compact
+    def __call__(self, x, v, gd: GradDiv, train: bool = False):
+        """Args: ``x [..., N, C]``, ``v [..., N, 2, C]``, ``gd`` the
+        (optionally batched) operators. Returns ``(x', v')``."""
+        channels = [self.out_channels] * self.depth
+
+        # Scalar -> scalar aggregation branch.
+        if self.centralized:
+            x_j = gather_neighbors(x, gd.nbr_idx)  # [..., N, K, C]
+            edge = x_j - x[..., :, None, :]
+            h = MLP(channels, name="s_mlp_max")(edge, train=train)
+        else:
+            h = MLP(channels, name="s_mlp_max")(x, train=train)
+            h = gather_neighbors(h, gd.nbr_idx)
+        x_max = _aggregate(h, gd.nbr_mask, self.aggr)
+
+        # Operator branch: scalar and vector calculus features.
+        x_cat = jnp.concatenate(
+            [x, gd.div(v), curl(v, gd), norm(v)], axis=-1
+        )
+        x = x_max + MLP(channels, name="s_mlp")(x_cat, train=train)
+
+        # Vector stream.
+        if self.vector:
+            v_cat = jnp.concatenate(
+                [v, hodge_laplacian(v, gd), gd.grad(x)], axis=-1
+            )
+            v = VectorMLP(channels, name="v_mlp")(I_J(v_cat), train=train)
+
+        return x, v

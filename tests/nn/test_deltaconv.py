@@ -1,0 +1,103 @@
+"""Ports of /root/reference/test/nn/test_deltaconv.py: shapes, vector
+passthrough, and coordinate-independence of forward AND backward."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deltaconv_tpu.geometry.connection import rotate_around
+from deltaconv_tpu.geometry.frames import estimate_basis
+from deltaconv_tpu.geometry.grad_div import build_grad_div
+from deltaconv_tpu.geometry.knn import knn
+from deltaconv_tpu.nn.deltaconv import DeltaConv
+
+
+def _setup(rng, n=500, k=20):
+    pos = jnp.asarray(rng.random((n, 3)).astype(np.float32))
+    nbr_idx, nbr_mask = knn(pos, k)
+    normal, xb, yb = estimate_basis(pos, nbr_idx, nbr_mask)
+    gd = build_grad_div(pos, normal, xb, yb, nbr_idx, nbr_mask,
+                        regularizer=1e-8)
+    return pos, normal, xb, yb, nbr_idx, nbr_mask, gd
+
+
+def test_deltaconv_shapes(rng):
+    n, c_out = 500, 32
+    pos, _, _, _, _, _, gd = _setup(rng, n)
+
+    v = gd.grad(pos)
+    assert v.shape == (n, 2, 3)
+
+    conv = DeltaConv(out_channels=c_out, depth=1, centralized=True,
+                     vector=True)
+    variables = jax.jit(
+        lambda p, vv, g: conv.init(jax.random.PRNGKey(0), p, vv, g,
+                                   train=False)
+    )(pos, v, gd)
+    (x_out, v_out), _ = jax.jit(
+        lambda va, p, vv, g: conv.apply(va, p, vv, g, train=True,
+                                        mutable=["batch_stats"])
+    )(variables, pos, v, gd)
+    assert x_out.shape == (n, c_out)
+    assert v_out.shape == (n, 2, c_out)
+
+    # vector=False passes v through untouched.
+    conv1 = DeltaConv(out_channels=c_out, depth=1, centralized=True,
+                      vector=False)
+    variables = jax.jit(
+        lambda p, vv, g: conv1.init(jax.random.PRNGKey(0), p, vv, g,
+                                    train=False)
+    )(pos, v, gd)
+    (x_out, v_out), _ = jax.jit(
+        lambda va, p, vv, g: conv1.apply(va, p, vv, g, train=True,
+                                         mutable=["batch_stats"])
+    )(variables, pos, v, gd)
+    assert x_out.shape == (n, c_out)
+    np.testing.assert_allclose(np.asarray(v_out), np.asarray(v))
+
+
+def test_deltaconv_coordinate_independence(rng):
+    """Identical forward outputs AND parameter gradients under randomly
+    rotated tangent bases (reference test_deltaconv.py:42-74)."""
+    n = 500
+    pos, normal, xb, yb, nbr_idx, nbr_mask, gd = _setup(rng, n)
+
+    angles = jnp.asarray((rng.random(n) * 2 * np.pi).astype(np.float32))
+    xb_rot = rotate_around(xb, normal, angles)
+    yb_rot = jnp.cross(normal, xb_rot)
+    gd_rot = build_grad_div(pos, normal, xb_rot, yb_rot, nbr_idx, nbr_mask,
+                            regularizer=1e-8)
+
+    target = jnp.asarray(rng.random((n, 1)).astype(np.float32))
+    conv = DeltaConv(out_channels=1, depth=1, centralized=False)
+
+    v0 = gd.grad(pos)
+    variables = jax.jit(
+        lambda p, vv, g: conv.init(jax.random.PRNGKey(3), p, vv, g,
+                                   train=False)
+    )(pos, v0, gd)
+    params = variables["params"]
+    batch_stats = variables["batch_stats"]
+
+    def loss_fn(params, gd_in):
+        v = gd_in.grad(pos)
+        (out, _), _ = conv.apply(
+            {"params": params, "batch_stats": batch_stats},
+            pos, v, gd_in, train=True, mutable=["batch_stats"],
+        )
+        return jnp.mean(jnp.abs(out - target))
+
+    vag = jax.jit(jax.value_and_grad(loss_fn))
+    loss, grads = vag(params, gd)
+    loss_rot, grads_rot = vag(params, gd_rot)
+
+    np.testing.assert_allclose(float(loss), float(loss_rot), atol=1e-5)
+    flat = jnp.concatenate(
+        [g.ravel() for g in jax.tree_util.tree_leaves(grads)]
+    )
+    flat_rot = jnp.concatenate(
+        [g.ravel() for g in jax.tree_util.tree_leaves(grads_rot)]
+    )
+    np.testing.assert_allclose(
+        np.asarray(flat), np.asarray(flat_rot), atol=1e-5
+    )
