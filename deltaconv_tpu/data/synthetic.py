@@ -1,0 +1,47 @@
+"""Synthetic point-cloud generators for tests and benchmarks.
+
+Deterministic, dataset-free stand-ins: deformed spheres whose
+deformation harmonics depend on the class label, so a classifier has
+real signal to learn. Used by the test-suite and ``bench.py``; the real
+dataset builders live alongside in ``deltaconv_tpu/data``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["synthetic_shapes", "synthetic_classification_batch"]
+
+
+def synthetic_shapes(rng, batch: int, num_points: int, num_classes: int = 4):
+    """Class-conditioned deformed spheres.
+
+    Returns ``(pos [B, N, 3] f32, normal [B, N, 3] f32 (approximate),
+    label [B] i32)``.
+    """
+    labels = rng.integers(0, num_classes, size=batch).astype(np.int32)
+    u = rng.normal(size=(batch, num_points, 3)).astype(np.float32)
+    u /= np.maximum(np.linalg.norm(u, axis=-1, keepdims=True), 1e-8)
+
+    # Class-dependent radial harmonic: r = 1 + a * sin(f * z) with the
+    # frequency set by the label.
+    freq = (2.0 + labels.astype(np.float32))[:, None]
+    r = 1.0 + 0.2 * np.sin(freq * u[..., 2] * np.pi)
+    pos = u * r[..., None]
+
+    # Approximate normals: radial direction (exact for the sphere,
+    # close enough for tests; models may also estimate their own).
+    normal = u
+    return pos.astype(np.float32), normal.astype(np.float32), labels
+
+
+def synthetic_classification_batch(seed: int, batch: int, num_points: int,
+                                   num_classes: int = 4, with_normals=True):
+    """A ready-to-feed batch dict for the classification models."""
+    rng = np.random.default_rng(seed)
+    pos, normal, labels = synthetic_shapes(rng, batch, num_points,
+                                           num_classes)
+    out = {"pos": pos, "label": labels}
+    if with_normals:
+        out["normal"] = normal
+    return out

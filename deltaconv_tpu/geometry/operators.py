@@ -14,12 +14,18 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from .utils import safe_norm
+
 __all__ = ["norm", "J", "I_J", "curl", "laplacian", "hodge_laplacian"]
 
 
 def norm(v):
-    """Channelwise vector norms: ``[..., N, 2, C] -> [..., N, C]``."""
-    return jnp.linalg.norm(v, axis=-2)
+    """Channelwise vector norms: ``[..., N, 2, C] -> [..., N, C]``.
+
+    Uses the gradient-safe norm (zero subgradient at zero vectors, the
+    PyTorch convention) — zero vectors are routine in the vector stream.
+    """
+    return safe_norm(v, axis=-2)
 
 
 def J(v):

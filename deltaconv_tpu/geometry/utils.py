@@ -6,7 +6,22 @@ import jax.numpy as jnp
 
 EPS = 1e-5
 
-__all__ = ["EPS", "batch_dot", "normalize"]
+__all__ = ["EPS", "batch_dot", "normalize", "safe_norm"]
+
+
+def safe_norm(v, axis=-1, keepdims=False):
+    """L2 norm with a well-defined zero gradient at ``v = 0``.
+
+    ``jnp.linalg.norm`` back-propagates ``0/0 = NaN`` through
+    exactly-zero vectors — which the vector stream produces by design
+    (VectorNonLin's ReLU zeroes sub-threshold norms). PyTorch defines
+    this subgradient as 0; this helper matches that convention so
+    training is NaN-free.
+    """
+    sq = jnp.sum(v * v, axis=axis, keepdims=keepdims)
+    positive = sq > 0
+    safe = jnp.sqrt(jnp.where(positive, sq, 1.0))
+    return jnp.where(positive, safe, 0.0)
 
 
 def batch_dot(a, b):

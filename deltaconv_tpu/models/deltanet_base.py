@@ -123,6 +123,6 @@ class DeltaNetBase(lnn.Module):
                 centralized=(self.centralize_first and i == 0),
                 vector=not last,
                 name=f"conv{i}",
-            )(x, v, gd, train=train)
+            )(x, v, gd, train=train, point_mask=point_mask)
             out.append(x)
         return out

@@ -50,7 +50,8 @@ class DeltaNetClassification(lnn.Module):
           train=train)
 
         x = jnp.concatenate(conv_out, axis=-1)
-        x = MLP([self.embedding_size], name="lin_embedding")(x, train=train)
+        x = MLP([self.embedding_size], name="lin_embedding")(
+            x, train=train, mask=point_mask)
 
         x = jnp.concatenate(
             [global_max_pool(x, point_mask), global_mean_pool(x, point_mask)],

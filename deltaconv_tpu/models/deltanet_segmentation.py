@@ -57,7 +57,8 @@ class DeltaNetSegmentation(lnn.Module):
           train=train)
 
         x = jnp.concatenate(conv_out, axis=-1)
-        x = MLP([self.embedding_size], name="lin_global")(x, train=train)
+        x = MLP([self.embedding_size], name="lin_global")(
+            x, train=train, mask=point_mask)
 
         n = pos.shape[-2]
         x_max = global_max_pool(x, point_mask)  # [B, E]
@@ -78,9 +79,9 @@ class DeltaNetSegmentation(lnn.Module):
 
         x = jnp.concatenate([x_max] + conv_out, axis=-1)
 
-        x = MLP([256], name="head0")(x, train=train)
+        x = MLP([256], name="head0")(x, train=train, mask=point_mask)
         x = lnn.Dropout(self.dropout, deterministic=not train)(x)
-        x = MLP([256], name="head1")(x, train=train)
+        x = MLP([256], name="head1")(x, train=train, mask=point_mask)
         x = lnn.Dropout(self.dropout, deterministic=not train)(x)
         x = lnn.Dense(128, name="head2")(x)
         x = leaky_relu02(x)

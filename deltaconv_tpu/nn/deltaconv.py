@@ -37,12 +37,24 @@ def gather_neighbors(x, nbr_idx):
 
 
 def _aggregate(h, nbr_mask, aggr: str):
-    """Masked aggregation over the neighbor axis: [..., K, C] -> [..., C]."""
+    """Masked aggregation over the neighbor axis: [..., K, C] -> [..., C].
+
+    Max uses explicit argmax + take_along_axis rather than jnp.max: the
+    backward pass then scatters each output's cotangent to exactly one
+    winner (torch-scatter semantics). XLA's eq-based reduce_max
+    transpose splits gradient across near-ties and is sensitive to SPMD
+    reduction order — single-winner routing keeps sharded and
+    single-device gradients identical.
+    """
     mask = nbr_mask[..., None]
     if aggr == "max":
         neg = jnp.asarray(-jnp.inf, h.dtype)
-        out = jnp.max(jnp.where(mask, h, neg), axis=-2)
-        # Rows with no valid neighbor (padded points) -> 0, not -inf.
+        masked = jnp.where(mask, h, neg)
+        winner = jnp.argmax(masked, axis=-2)  # [..., C]
+        out = jnp.take_along_axis(
+            h, winner[..., None, :], axis=-2
+        )[..., 0, :]
+        # Rows with no valid neighbor (padded points) -> 0, not junk.
         return jnp.where(jnp.any(nbr_mask, axis=-1)[..., None], out, 0.0)
     if aggr == "mean":
         m = mask.astype(h.dtype)
@@ -72,18 +84,24 @@ class DeltaConv(lnn.Module):
     aggr: str = "max"
 
     @lnn.compact
-    def __call__(self, x, v, gd: GradDiv, train: bool = False):
+    def __call__(self, x, v, gd: GradDiv, train: bool = False,
+                 point_mask=None):
         """Args: ``x [..., N, C]``, ``v [..., N, 2, C]``, ``gd`` the
-        (optionally batched) operators. Returns ``(x', v')``."""
+        (optionally batched) operators, ``point_mask`` optional
+        ``[..., N]`` validity (excluded from BatchNorm statistics).
+        Returns ``(x', v')``."""
         channels = [self.out_channels] * self.depth
+        edge_mask = gd.nbr_mask if point_mask is not None else None
 
         # Scalar -> scalar aggregation branch.
         if self.centralized:
             x_j = gather_neighbors(x, gd.nbr_idx)  # [..., N, K, C]
             edge = x_j - x[..., :, None, :]
-            h = MLP(channels, name="s_mlp_max")(edge, train=train)
+            h = MLP(channels, name="s_mlp_max")(edge, train=train,
+                                                mask=edge_mask)
         else:
-            h = MLP(channels, name="s_mlp_max")(x, train=train)
+            h = MLP(channels, name="s_mlp_max")(x, train=train,
+                                                mask=point_mask)
             h = gather_neighbors(h, gd.nbr_idx)
         x_max = _aggregate(h, gd.nbr_mask, self.aggr)
 
@@ -91,13 +109,15 @@ class DeltaConv(lnn.Module):
         x_cat = jnp.concatenate(
             [x, gd.div(v), curl(v, gd), norm(v)], axis=-1
         )
-        x = x_max + MLP(channels, name="s_mlp")(x_cat, train=train)
+        x = x_max + MLP(channels, name="s_mlp")(x_cat, train=train,
+                                                mask=point_mask)
 
         # Vector stream.
         if self.vector:
             v_cat = jnp.concatenate(
                 [v, hodge_laplacian(v, gd), gd.grad(x)], axis=-1
             )
-            v = VectorMLP(channels, name="v_mlp")(I_J(v_cat), train=train)
+            v = VectorMLP(channels, name="v_mlp")(I_J(v_cat), train=train,
+                                                  mask=point_mask)
 
         return x, v

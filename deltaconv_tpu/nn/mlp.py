@@ -29,10 +29,13 @@ class MLP(lnn.Module):
     nonlin: Optional[Callable] = leaky_relu02
 
     @lnn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, mask=None):
+        """``mask``: optional validity over ``x.shape[:-1]`` — masked
+        rows are excluded from BatchNorm statistics (padding points
+        must not pollute train-mode normalization)."""
         for i, ch in enumerate(self.channels):
             x = lnn.Dense(ch, use_bias=False, name=f"lin{i}")(x)
-            x = BatchNorm(name=f"bn{i}")(x, train=train)
+            x = BatchNorm(name=f"bn{i}")(x, train=train, mask=mask)
             if self.nonlin is not None:
                 x = self.nonlin(x)
         return x
@@ -50,12 +53,13 @@ class VectorMLP(lnn.Module):
     use_batchnorm: bool = True
 
     @lnn.compact
-    def __call__(self, v, train: bool = False):
+    def __call__(self, v, train: bool = False, mask=None):
+        """``mask``: optional validity over ``v.shape[:-2]``."""
         for i, ch in enumerate(self.channels):
             v = lnn.Dense(ch, use_bias=False, name=f"lin{i}")(v)
             v = VectorNonLin(
                 use_batchnorm=self.use_batchnorm, name=f"nonlin{i}"
-            )(v, train=train)
+            )(v, train=train, mask=mask)
         return v
 
 

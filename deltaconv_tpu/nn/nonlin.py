@@ -20,6 +20,8 @@ from typing import Callable, Optional
 import flax.linen as lnn
 import jax.numpy as jnp
 
+from ..geometry.utils import safe_norm
+
 EPS = 1e-8
 
 __all__ = ["BatchNorm", "VectorNonLin", "leaky_relu02"]
@@ -44,14 +46,16 @@ class BatchNorm(lnn.Module):
     use_bias: bool = True
 
     @lnn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, mask=None):
+        if mask is not None and mask.ndim == x.ndim - 1:
+            mask = mask[..., None]
         return lnn.BatchNorm(
             use_running_average=not train,
             momentum=self.momentum,
             epsilon=self.epsilon,
             use_scale=self.use_scale,
             use_bias=self.use_bias,
-        )(x)
+        )(x, mask=mask)
 
 
 class VectorNonLin(lnn.Module):
@@ -67,11 +71,13 @@ class VectorNonLin(lnn.Module):
     nonlin: Callable = lnn.relu
 
     @lnn.compact
-    def __call__(self, v, train: bool = False):
+    def __call__(self, v, train: bool = False, mask=None):
+        """``mask``: optional validity over ``v.shape[:-2]`` — masked
+        entries are excluded from the norm batch statistics."""
         c = v.shape[-1]
-        n = jnp.linalg.norm(v, axis=-2)  # [..., C]
+        n = safe_norm(v, axis=-2)  # [..., C]
         if self.use_batchnorm:
-            shifted = BatchNorm(name="bn")(n, train=train)
+            shifted = BatchNorm(name="bn")(n, train=train, mask=mask)
         else:
             bias = self.param("bias", lnn.initializers.zeros, (c,))
             shifted = n + bias

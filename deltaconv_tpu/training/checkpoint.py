@@ -1,0 +1,59 @@
+"""Checkpointing with orbax.
+
+Upgrades the reference's bare ``torch.save(model.state_dict())``
+(train_modelnet.py:79-82, no optimizer state, no mid-run resume) to
+full-state checkpoints: parameters, BatchNorm statistics, optimizer
+state, and step counter, so training resumes exactly.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+__all__ = ["save_checkpoint", "restore_checkpoint", "latest_step"]
+
+
+def _checkpointer():
+    return ocp.PyTreeCheckpointer()
+
+
+def save_checkpoint(ckpt_dir: str, state, step: Optional[int] = None):
+    """Saves a TrainState under ``ckpt_dir/step_<N>``."""
+    step = int(state.step) if step is None else int(step)
+    path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step}")
+    _checkpointer().save(path, jax.device_get(state), force=True)
+    return path
+
+
+def latest_step(ckpt_dir: str) -> Optional[int]:
+    """The largest saved step number, or None."""
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = [
+        int(d.split("_", 1)[1])
+        for d in os.listdir(ckpt_dir)
+        if d.startswith("step_") and d.split("_", 1)[1].isdigit()
+    ]
+    return max(steps) if steps else None
+
+
+def restore_checkpoint(ckpt_dir: str, target_state,
+                       step: Optional[int] = None):
+    """Restores a TrainState saved by :func:`save_checkpoint`.
+
+    Args:
+      ckpt_dir: checkpoint root.
+      target_state: a template TrainState with matching structure.
+      step: specific step; defaults to the latest.
+    """
+    if step is None:
+        step = latest_step(ckpt_dir)
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
+    path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step}")
+    restored = _checkpointer().restore(path, item=jax.device_get(target_state))
+    return restored
