@@ -17,6 +17,7 @@ import flax.linen as lnn
 import jax
 import jax.numpy as jnp
 
+from ..geometry.dense import densify
 from ..geometry.frames import build_tangent_basis, estimate_basis
 from ..geometry.grad_div import GradDiv, build_grad_div
 from ..geometry.knn import knn
@@ -89,6 +90,12 @@ class DeltaNetBase(lnn.Module):
     grad_regularizer: float = 0.001
     grad_kernel_width: float = 1.0
     centralize_first: bool = True
+    # Dense (MXU) operator form: XLA's TPU gather runs far below HBM
+    # bandwidth, so the per-edge operators are materialized once per
+    # forward as [2N, N] matrices and applied as batched matmuls.
+    # operator_dtype=bfloat16 halves matmul traffic (f32 accumulation).
+    dense_operators: bool = True
+    operator_dtype: Optional[str] = None
 
     @lnn.compact
     def __call__(self, pos, normal=None, features=None, point_mask=None,
@@ -109,6 +116,10 @@ class DeltaNetBase(lnn.Module):
             kernel_width=self.grad_kernel_width,
             regularizer=self.grad_regularizer,
         )
+        if self.dense_operators:
+            op_dtype = (jnp.dtype(self.operator_dtype)
+                        if self.operator_dtype else None)
+            gd = densify(gd, op_dtype)
 
         x = features if features is not None else pos
         v = gd.grad(x)

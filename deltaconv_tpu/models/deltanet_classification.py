@@ -7,7 +7,7 @@ globally max+mean pooled, and classified through a dropout MLP head.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 import flax.linen as lnn
 import jax.numpy as jnp
@@ -34,6 +34,8 @@ class DeltaNetClassification(lnn.Module):
     grad_kernel_width: float = 1.0
     embedding_size: int = 1024
     dropout: float = 0.5
+    dense_operators: bool = True
+    operator_dtype: Optional[str] = None
 
     @lnn.compact
     def __call__(self, pos, normal=None, features=None, point_mask=None,
@@ -45,6 +47,8 @@ class DeltaNetClassification(lnn.Module):
             num_neighbors=self.num_neighbors,
             grad_regularizer=self.grad_regularizer,
             grad_kernel_width=self.grad_kernel_width,
+            dense_operators=self.dense_operators,
+            operator_dtype=self.operator_dtype,
             name="deltanet_base",
         )(pos, normal=normal, features=features, point_mask=point_mask,
           train=train)

@@ -9,7 +9,7 @@ with the per-stage features, and decoded to per-point logits.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 import flax.linen as lnn
 import jax.numpy as jnp
@@ -38,6 +38,8 @@ class DeltaNetSegmentation(lnn.Module):
     grad_regularizer: float = 0.001
     grad_kernel_width: float = 1.0
     dropout: float = 0.5
+    dense_operators: bool = True
+    operator_dtype: Optional[str] = None
 
     @lnn.compact
     def __call__(self, pos, normal=None, features=None, category=None,
@@ -52,6 +54,8 @@ class DeltaNetSegmentation(lnn.Module):
             num_neighbors=self.num_neighbors,
             grad_regularizer=self.grad_regularizer,
             grad_kernel_width=self.grad_kernel_width,
+            dense_operators=self.dense_operators,
+            operator_dtype=self.operator_dtype,
             name="deltanet_base",
         )(pos, normal=normal, features=features, point_mask=point_mask,
           train=train)

@@ -36,25 +36,46 @@ def gather_neighbors(x, nbr_idx):
     return jax.vmap(gather_neighbors)(x, nbr_idx)
 
 
-def _aggregate(h, nbr_mask, aggr: str):
-    """Masked aggregation over the neighbor axis: [..., K, C] -> [..., C].
+@jax.custom_vjp
+def _masked_max(h, mask):
+    """Max over axis -2 with single-winner gradient routing.
 
-    Max uses explicit argmax + take_along_axis rather than jnp.max: the
-    backward pass then scatters each output's cotangent to exactly one
-    winner (torch-scatter semantics). XLA's eq-based reduce_max
-    transpose splits gradient across near-ties and is sensitive to SPMD
-    reduction order — single-winner routing keeps sharded and
-    single-device gradients identical.
+    Forward is a plain VPU reduce. The backward scatters each output
+    cotangent to exactly ONE winning slot via an elementwise iota ==
+    argmax compare (torch-scatter semantics) — never a gather/scatter
+    op, and deterministic under any SPMD partitioning (XLA's eq-based
+    reduce_max transpose splits across near-ties and is sensitive to
+    reduction order).
     """
+    neg = jnp.asarray(-jnp.inf, h.dtype)
+    return jnp.max(jnp.where(mask, h, neg), axis=-2)
+
+
+def _masked_max_fwd(h, mask):
+    neg = jnp.asarray(-jnp.inf, h.dtype)
+    masked = jnp.where(mask, h, neg)
+    winner = jnp.argmax(masked, axis=-2).astype(jnp.int32)  # [..., C]
+    return jnp.max(masked, axis=-2), (winner, h.shape[-2])
+
+
+def _masked_max_bwd(res, g):
+    winner, k = res
+    k_iota = jnp.arange(k, dtype=jnp.int32).reshape(
+        (1,) * (winner.ndim - 1) + (k, 1)
+    )
+    dh = jnp.where(k_iota == winner[..., None, :], g[..., None, :], 0.0)
+    return dh.astype(g.dtype), None
+
+
+_masked_max.defvjp(_masked_max_fwd, _masked_max_bwd)
+
+
+def _aggregate(h, nbr_mask, aggr: str):
+    """Masked aggregation over the neighbor axis: [..., K, C] -> [..., C]."""
     mask = nbr_mask[..., None]
     if aggr == "max":
-        neg = jnp.asarray(-jnp.inf, h.dtype)
-        masked = jnp.where(mask, h, neg)
-        winner = jnp.argmax(masked, axis=-2)  # [..., C]
-        out = jnp.take_along_axis(
-            h, winner[..., None, :], axis=-2
-        )[..., 0, :]
-        # Rows with no valid neighbor (padded points) -> 0, not junk.
+        out = _masked_max(h, mask)
+        # Rows with no valid neighbor (padded points) -> 0, not -inf.
         return jnp.where(jnp.any(nbr_mask, axis=-1)[..., None], out, 0.0)
     if aggr == "mean":
         m = mask.astype(h.dtype)
