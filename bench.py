@@ -49,6 +49,7 @@ def main():
         num_neighbors=K,
         dense_operators=True,
         operator_dtype="bfloat16",
+        knn_method="approx",
     )
     batch = synthetic_classification_batch(0, BATCH, NUM_POINTS, NUM_CLASSES)
     pos = jnp.asarray(batch["pos"])

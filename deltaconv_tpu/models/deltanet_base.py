@@ -34,6 +34,7 @@ def build_operators(
     kernel_width: float = 1.0,
     regularizer: float = 0.001,
     normal_k: int = 10,
+    knn_method: str = "exact",
 ) -> GradDiv:
     """Builds the per-cloud grad/div operators, batched over axis 0.
 
@@ -56,9 +57,10 @@ def build_operators(
     """
 
     def single(pos, normal, point_mask):
-        nbr_idx, nbr_mask = knn(pos, k, point_mask)
+        nbr_idx, nbr_mask = knn(pos, k, point_mask, method=knn_method)
         if normal is None:
-            nbr_n, mask_n = knn(pos, normal_k, point_mask)
+            nbr_n, mask_n = knn(pos, normal_k, point_mask,
+                                method=knn_method)
             n, xb, yb = estimate_basis(pos, nbr_n, mask_n, orientation=pos)
         else:
             n = normal
@@ -96,6 +98,7 @@ class DeltaNetBase(lnn.Module):
     # operator_dtype=bfloat16 halves matmul traffic (f32 accumulation).
     dense_operators: bool = True
     operator_dtype: Optional[str] = None
+    knn_method: str = "exact"
 
     @lnn.compact
     def __call__(self, pos, normal=None, features=None, point_mask=None,
@@ -115,6 +118,7 @@ class DeltaNetBase(lnn.Module):
             point_mask=point_mask,
             kernel_width=self.grad_kernel_width,
             regularizer=self.grad_regularizer,
+            knn_method=self.knn_method,
         )
         if self.dense_operators:
             op_dtype = (jnp.dtype(self.operator_dtype)

@@ -36,6 +36,7 @@ class DeltaNetClassification(lnn.Module):
     dropout: float = 0.5
     dense_operators: bool = True
     operator_dtype: Optional[str] = None
+    knn_method: str = "exact"
 
     @lnn.compact
     def __call__(self, pos, normal=None, features=None, point_mask=None,
@@ -49,6 +50,7 @@ class DeltaNetClassification(lnn.Module):
             grad_kernel_width=self.grad_kernel_width,
             dense_operators=self.dense_operators,
             operator_dtype=self.operator_dtype,
+            knn_method=self.knn_method,
             name="deltanet_base",
         )(pos, normal=normal, features=features, point_mask=point_mask,
           train=train)

@@ -40,6 +40,7 @@ class DeltaNetSegmentation(lnn.Module):
     dropout: float = 0.5
     dense_operators: bool = True
     operator_dtype: Optional[str] = None
+    knn_method: str = "exact"
 
     @lnn.compact
     def __call__(self, pos, normal=None, features=None, category=None,
@@ -56,6 +57,7 @@ class DeltaNetSegmentation(lnn.Module):
             grad_kernel_width=self.grad_kernel_width,
             dense_operators=self.dense_operators,
             operator_dtype=self.operator_dtype,
+            knn_method=self.knn_method,
             name="deltanet_base",
         )(pos, normal=normal, features=features, point_mask=point_mask,
           train=train)
