@@ -2,6 +2,14 @@
 checkpointing."""
 
 from .checkpoint import latest_step, restore_checkpoint, save_checkpoint
+from .logging import MetricsLogger, make_run_dir
+from .loop import (
+    FitConfig,
+    evaluate_classification,
+    evaluate_segmentation,
+    evaluate_voting,
+    fit,
+)
 from .losses import cross_entropy, smooth_cross_entropy
 from .metrics import accuracy, balanced_accuracy, shape_iou
 from .steps import make_eval_step, make_train_step
@@ -14,7 +22,14 @@ from .train_state import (
 )
 
 __all__ = [
+    "FitConfig",
+    "MetricsLogger",
     "TrainState",
+    "evaluate_classification",
+    "evaluate_segmentation",
+    "evaluate_voting",
+    "fit",
+    "make_run_dir",
     "accuracy",
     "adam_steplr",
     "balanced_accuracy",
