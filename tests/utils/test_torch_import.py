@@ -1,0 +1,196 @@
+"""Weight-importer tests: numerical parity with torch layers and full
+model-tree key coverage."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from deltaconv_tpu.nn.mlp import MLP, VectorMLP
+from deltaconv_tpu.utils.torch_import import import_state_dict
+
+
+class _TorchRefMLP(torch.nn.Module):
+    """The reference MLP block: Seq(Seq(Lin no-bias, BN, LeakyReLU(.2)))."""
+
+    def __init__(self, channels):
+        super().__init__()
+        layers = []
+        for i in range(1, len(channels)):
+            layers.append(torch.nn.Sequential(
+                torch.nn.Linear(channels[i - 1], channels[i], bias=False),
+                _TorchBNWrapper(channels[i]),
+                torch.nn.LeakyReLU(0.2),
+            ))
+        self.mod = torch.nn.Sequential(*layers)
+
+    def forward(self, x):
+        return self.mod(x)
+
+
+class _TorchBNWrapper(torch.nn.Module):
+    """Reference BatchNorm1d wrapper (key layout `.bn.*`)."""
+
+    def __init__(self, c):
+        super().__init__()
+        self.bn = torch.nn.BatchNorm1d(c)
+
+    def forward(self, x):
+        return self.bn(x)
+
+
+def test_mlp_numerical_parity(rng):
+    c_in, c_out, n = 16, 24, 64
+    tm = _TorchRefMLP([c_in, c_out])
+    tm.eval()
+    with torch.no_grad():
+        tm.mod[0][0].weight.copy_(torch.rand(c_out, c_in))
+        tm.mod[0][1].bn.weight.copy_(torch.rand(c_out))
+        tm.mod[0][1].bn.bias.copy_(torch.rand(c_out))
+        tm.mod[0][1].bn.running_mean.copy_(torch.rand(c_out))
+        tm.mod[0][1].bn.running_var.copy_(torch.rand(c_out) + 0.5)
+
+    x = rng.random((n, c_in)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()
+
+    # Key layout as produced by the reference model: "lin_embedding.0.0.weight".
+    sd = {
+        f"lin_embedding.{k.replace('mod.', '').replace('bn.bn.', 'bn.')}": v
+        for k, v in tm.state_dict().items()
+    }
+    # torch keys look like mod.0.0.weight / mod.0.1.bn.weight
+    sd = {}
+    for k, v in tm.state_dict().items():
+        sd["lin_embedding." + k.replace("mod.", "")] = v.numpy()
+
+    params, batch_stats, skipped = import_state_dict(sd)
+    assert not [s for s in skipped if "num_batches" not in s]
+
+    model = MLP([c_out])
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                           train=False)
+    # Graft imported weights under this module's root.
+    got = model.apply(
+        {"params": params["lin_embedding"],
+         "batch_stats": batch_stats["lin_embedding"]},
+        jnp.asarray(x), train=False,
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_full_model_key_coverage(rng):
+    """Every translated key must land on an existing leaf of the flax
+    tree with a matching shape (classification + segmentation trees)."""
+    from deltaconv_tpu.models import (
+        DeltaNetClassification, DeltaNetSegmentation,
+    )
+
+    def flatten(tree, prefix=()):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out.update(flatten(v, prefix + (k,)))
+            else:
+                out[prefix + (k,)] = v
+        return out
+
+    def synth_torch_sd(params, batch_stats):
+        """Invert the mapping: synthesize a torch-style state_dict from
+        our tree so the importer can be round-trip tested."""
+        sd = {}
+
+        def emit(path, arr):
+            # Rebuild torch names from our structured names.
+            parts = list(path)
+            # Head renames.
+            joined = "/".join(parts)
+            torch_parts = []
+            i = 0
+            while i < len(parts):
+                p = parts[i]
+                if p.startswith("conv") and p[4:].isdigit():
+                    torch_parts.append(f"convs.{p[4:]}")
+                elif p.startswith("lin") and p[3:].isdigit() and \
+                        parts[i + 1] == "kernel":
+                    torch_parts.append(f"{p[3:]}.0.weight")
+                    i += 2
+                    continue
+                elif p.startswith("bn") and p[2:].isdigit():
+                    leaf = {"scale": "weight", "bias": "bias",
+                            "mean": "running_mean",
+                            "var": "running_var"}[parts[i + 2]]
+                    torch_parts.append(f"{p[2:]}.1.bn.{leaf}")
+                    i += 3
+                    continue
+                elif p.startswith("nonlin") and p[6:].isdigit():
+                    leaf = {"scale": "weight", "bias": "bias",
+                            "mean": "running_mean",
+                            "var": "running_var"}[parts[i + 3]]
+                    torch_parts.append(f"{p[6:]}.1.batchnorm.bn.{leaf}")
+                    i += 4
+                    continue
+                elif p == "kernel":
+                    torch_parts.append("weight")
+                elif p == "bias":
+                    torch_parts.append("bias")
+                else:
+                    torch_parts.append(p)
+                i += 1
+            name = ".".join(torch_parts)
+            name = name.replace("head0.", "classification_head.0.") \
+                if class_mode else name.replace(
+                    "head0.", "segmentation_head.0.")
+            if class_mode:
+                name = name.replace("head1.", "classification_head.2.")
+                name = name.replace("head_out.", "classification_head.4.")
+            else:
+                name = name.replace("head1.", "segmentation_head.2.")
+                name = name.replace("head2.", "segmentation_head.4.")
+                name = name.replace("head_out.", "segmentation_head.6.")
+            arr = np.asarray(arr)
+            if name.endswith("weight") and arr.ndim == 2 and \
+                    ".bn." not in name and "batchnorm" not in name:
+                arr = arr.T
+            sd[name] = arr
+
+        for path, arr in flatten(params).items():
+            emit(path, arr)
+        for path, arr in flatten(batch_stats).items():
+            emit(path, arr)
+        return sd
+
+    for class_mode in (True, False):
+        if class_mode:
+            model = DeltaNetClassification(
+                num_classes=5, conv_channels=(8, 8), num_neighbors=8
+            )
+            kwargs = {}
+        else:
+            model = DeltaNetSegmentation(
+                num_classes=5, conv_channels=(8, 8), mlp_depth=2,
+                embedding_size=16, categorical_vector=True, num_neighbors=8
+            )
+            kwargs = {"category": jnp.zeros((2, 16))}
+        pos = jnp.asarray(rng.random((2, 32, 3)).astype(np.float32))
+        variables = model.init(jax.random.PRNGKey(0), pos, train=False,
+                               **kwargs)
+
+        sd = synth_torch_sd(variables["params"], variables["batch_stats"])
+        params, batch_stats, skipped = import_state_dict(sd)
+        assert not skipped, skipped[:5]
+
+        want_p = flatten(variables["params"])
+        got_p = flatten(params)
+        assert set(got_p) == set(want_p), (
+            set(want_p) ^ set(got_p)
+        )
+        for k in want_p:
+            np.testing.assert_allclose(got_p[k], np.asarray(want_p[k]),
+                                       err_msg=str(k))
+        want_b = flatten(variables["batch_stats"])
+        got_b = flatten(batch_stats)
+        assert set(got_b) == set(want_b)
