@@ -1,7 +1,8 @@
 """Training layer: losses, metrics, train state, jitted steps,
 checkpointing."""
 
-from .checkpoint import latest_step, restore_checkpoint, save_checkpoint
+from .checkpoint import (latest_step, restore_any, restore_checkpoint,
+                         save_checkpoint)
 from .logging import MetricsLogger, make_run_dir
 from .loop import (
     FitConfig,
@@ -37,6 +38,7 @@ __all__ = [
     "create_train_state",
     "cross_entropy",
     "latest_step",
+    "restore_any",
     "make_eval_step",
     "make_train_step",
     "restore_checkpoint",

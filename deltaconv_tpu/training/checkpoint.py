@@ -14,7 +14,7 @@ from typing import Optional
 import jax
 import orbax.checkpoint as ocp
 
-__all__ = ["save_checkpoint", "restore_checkpoint", "latest_step"]
+__all__ = ["save_checkpoint", "restore_checkpoint", "restore_any", "latest_step"]
 
 
 def _checkpointer():
@@ -39,6 +39,24 @@ def latest_step(ckpt_dir: str) -> Optional[int]:
         if d.startswith("step_") and d.split("_", 1)[1].isdigit()
     ]
     return max(steps) if steps else None
+
+
+def restore_any(path: str, target_state):
+    """Restores either an orbax checkpoint dir/step or a PyTorch
+    ``.pt`` state_dict (via the weight importer) into a TrainState."""
+    if path.endswith(".pt") or path.endswith(".pth"):
+        from ..utils.torch_import import import_state_dict, \
+            load_torch_state_dict
+
+        sd = load_torch_state_dict(path)
+        params, batch_stats, skipped = import_state_dict(sd)
+        if skipped:
+            noteworthy = [s for s in skipped
+                          if "num_batches_tracked" not in s]
+            if noteworthy:
+                print(f"[torch import] skipped keys: {noteworthy}")
+        return target_state.replace(params=params, batch_stats=batch_stats)
+    return restore_checkpoint(path, target_state)
 
 
 def restore_checkpoint(ckpt_dir: str, target_state,

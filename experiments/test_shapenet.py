@@ -27,7 +27,7 @@ def main():
 
     from deltaconv_tpu.data import BatchLoader
     from deltaconv_tpu.training import (
-        create_train_state, evaluate_voting, restore_checkpoint,
+        create_train_state, evaluate_voting, restore_any,
         sgd_momentum,
     )
 
@@ -45,7 +45,7 @@ def main():
             "category": jnp.asarray(example["category"]),
         },
     )
-    state = restore_checkpoint(args.checkpoint, state)
+    state = restore_any(args.checkpoint, state)
 
     mean_iou, per_class = evaluate_voting(
         model, state, test_loader, augment, num_votes=args.num_votes,

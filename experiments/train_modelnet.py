@@ -73,7 +73,7 @@ def main():
     from deltaconv_tpu.data import BatchLoader
     from deltaconv_tpu.training import (
         FitConfig, cosine_epoch_schedule, create_train_state,
-        evaluate_classification, fit, restore_checkpoint, sgd_momentum,
+        evaluate_classification, fit, restore_any, sgd_momentum,
     )
 
     train_ds, test_ds = build_datasets(args)
@@ -95,7 +95,7 @@ def main():
 
     logger, ckpt_dir = make_logger(args)
     if args.evaluating:
-        state = restore_checkpoint(args.checkpoint, state)
+        state = restore_any(args.checkpoint, state)
         scalars = evaluate_classification(model, state, test_loader)
     else:
         config = FitConfig(epochs=args.epochs, seed=args.seed,

@@ -49,7 +49,7 @@ def main():
     from deltaconv_tpu.models import DeltaNetClassification
     from deltaconv_tpu.training import (
         FitConfig, cosine_epoch_schedule, create_train_state,
-        evaluate_classification, fit, restore_checkpoint, sgd_momentum,
+        evaluate_classification, fit, restore_any, sgd_momentum,
     )
     from deltaconv_tpu.transforms import GeodesicFPS
 
@@ -85,7 +85,7 @@ def main():
 
     logger, ckpt_dir = make_logger(args)
     if args.evaluating:
-        state = restore_checkpoint(args.checkpoint, state)
+        state = restore_any(args.checkpoint, state)
     else:
         config = FitConfig(epochs=args.epochs, seed=args.seed, smoothing=0.2,
                            data_parallel=not args.no_data_parallel)

@@ -77,7 +77,7 @@ def main():
     from deltaconv_tpu.data import BatchLoader
     from deltaconv_tpu.training import (
         FitConfig, cosine_epoch_schedule, create_train_state,
-        evaluate_segmentation, fit, restore_checkpoint, sgd_momentum,
+        evaluate_segmentation, fit, restore_any, sgd_momentum,
     )
 
     train_ds, test_ds, num_classes = build_datasets_and_classes(args)
@@ -105,7 +105,7 @@ def main():
         model, s, test_loader, class_choice=args.class_choice
     )
     if args.evaluating:
-        state = restore_checkpoint(args.checkpoint, state)
+        state = restore_any(args.checkpoint, state)
     else:
         config = FitConfig(epochs=args.epochs, seed=args.seed, smoothing=0.0,
                            data_parallel=not args.no_data_parallel)

@@ -56,7 +56,7 @@ def main():
     from deltaconv_tpu.models import DeltaNetSegmentation
     from deltaconv_tpu.training import (
         FitConfig, adam_steplr, create_train_state, evaluate_segmentation,
-        fit, restore_checkpoint, save_checkpoint,
+        fit, restore_any, save_checkpoint,
     )
     from deltaconv_tpu.transforms import (
         Compose, GeodesicFPS, NormalizeArea, NormalizeAxes, SamplePoints,
@@ -108,7 +108,7 @@ def main():
 
     logger, ckpt_dir = make_logger(args)
     if args.evaluating:
-        state = restore_checkpoint(args.checkpoint, state)
+        state = restore_any(args.checkpoint, state)
         scalars = evaluate_segmentation(model, state, test_loader,
                                         with_iou=False)
         print("Test accuracy: {test accuracy}".format(**scalars))
