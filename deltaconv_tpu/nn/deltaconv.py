@@ -120,11 +120,19 @@ class DeltaConv(lnn.Module):
             edge = x_j - x[..., :, None, :]
             h = MLP(channels, name="s_mlp_max")(edge, train=train,
                                                 mask=edge_mask)
+            x_max = _aggregate(h, gd.nbr_mask, self.aggr)
         else:
             h = MLP(channels, name="s_mlp_max")(x, train=train,
                                                 mask=point_mask)
-            h = gather_neighbors(h, gd.nbr_idx)
-        x_max = _aggregate(h, gd.nbr_mask, self.aggr)
+            if self.aggr == "max":
+                # Fused Pallas gather+max on TPU (ops/gather_max.py);
+                # reference XLA path elsewhere.
+                from ..ops.gather_max import masked_nbr_max
+
+                x_max = masked_nbr_max(h, gd.nbr_idx, gd.nbr_mask)
+            else:
+                h = gather_neighbors(h, gd.nbr_idx)
+                x_max = _aggregate(h, gd.nbr_mask, self.aggr)
 
         # Operator branch: scalar and vector calculus features.
         x_cat = jnp.concatenate(

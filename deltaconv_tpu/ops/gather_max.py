@@ -1,0 +1,235 @@
+"""Fused neighbor-gather + masked max (the scalar-stream aggregation).
+
+Computes ``out[b, n, c] = max over valid k of h[b, idx[b, n, k], c]``
+without materializing the ``[B, N, K, C]`` gathered tensor:
+
+* forward: a Pallas kernel holds the whole per-cloud feature table
+  ``[N, C]`` in VMEM and performs K one-hot ``[T, N] @ [N, C]`` matmuls
+  per point tile, tracking the running max and the winning slot — MXU
+  work instead of an XLA gather (which measures ~9 GB/s on TPU).
+* backward: single-winner routing (torch scatter_max semantics,
+  deterministic under SPMD). The cotangent is scattered to
+  ``idx[b, n, winner]`` rows via a Pallas transpose kernel that
+  re-derives the routing by comparing winner indices against the
+  output-row iota — again compares + reductions, no scatter op.
+
+A pure-XLA reference path (`_reference_fwd`) runs on CPU backends and
+anchors the tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["gather_max"]
+
+_NEG = -3.0e38  # ~ -inf in f32, safe to negate/compare
+
+
+def _pad_to(x, multiple, axis, value=0):
+    pad = (-x.shape[axis]) % multiple
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+# -- forward kernel ------------------------------------------------------
+
+
+def _fwd_kernel(idx_ref, mask_ref, hi_ref, lo_ref, out_ref, win_ref,
+                *, k, n):
+    """One k-major one-hot [K*T, N] feeding two bf16 MXU passes.
+
+    The feature table is pre-split h = hi + lo with hi = bf16(h),
+    lo = bf16(h - hi); one-hot rows are exact in bf16, so the two
+    passes reconstruct the gather to ~1e-6 relative (vs 2e-3 for a
+    single bf16 pass) at 2/3 the cost of Precision.HIGHEST.
+    """
+    t = idx_ref.shape[1]
+    c = hi_ref.shape[2]
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (t, n), 1)
+
+    ones = [
+        (idx_ref[0, :, kk][:, None] == col_iota).astype(jnp.bfloat16)
+        for kk in range(k)
+    ]
+    onehot = jnp.concatenate(ones, axis=0)  # [K*T, N], k-major rows
+    val = jnp.dot(onehot, hi_ref[0], preferred_element_type=jnp.float32)
+    val = val + jnp.dot(onehot, lo_ref[0],
+                        preferred_element_type=jnp.float32)
+    # Static unrolled max/argmax over the K row-blocks (Mosaic handles
+    # sliced sublane reads better than leading-axis reductions).
+    best = jnp.full((t, c), _NEG, jnp.float32)
+    winner = jnp.zeros((t, c), jnp.int32)
+    for kk in range(k):
+        vk = val[kk * t:(kk + 1) * t, :]
+        vk = jnp.where(mask_ref[0, :, kk][:, None] > 0, vk, _NEG)
+        upd = vk > best
+        winner = jnp.where(upd, kk, winner)
+        best = jnp.where(upd, vk, best)
+    out_ref[0] = best
+    win_ref[0] = winner
+
+
+def _pallas_fwd(h, idx, mask, tile=64):
+    b, n, c = h.shape
+    k = idx.shape[-1]
+    idx_p = _pad_to(idx.astype(jnp.int32), tile, 1)
+    mask_p = _pad_to(mask.astype(jnp.int32), tile, 1)
+    n_pad = idx_p.shape[1]
+
+    hf = h.astype(jnp.float32)
+    hi = hf.astype(jnp.bfloat16)
+    lo = (hf - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    grid = (b, n_pad // tile)
+    out, winner = pl.pallas_call(
+        functools.partial(_fwd_kernel, k=k, n=n),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile, k), lambda ib, it: (ib, it, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, k), lambda ib, it: (ib, it, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, c), lambda ib, it: (ib, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, c), lambda ib, it: (ib, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile, c), lambda ib, it: (ib, it, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, c), lambda ib, it: (ib, it, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n_pad, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_pad, c), jnp.int32),
+        ],
+    )(idx_p, mask_p, hi, lo)
+    return out[:, :n], winner[:, :n]
+
+
+# -- backward kernel -----------------------------------------------------
+
+
+def _bwd_kernel(win_idx_ref, g_ref, dh_ref, *, tile):
+    """dh[m, c] = sum_n g[n, c] * [win_idx[n, c] == m] for m in this
+    tile; the loop over output rows is a fori with an accumulating
+    VMEM write."""
+    m0 = pl.program_id(1) * tile
+    win = win_idx_ref[0]  # [N, C] int32
+    g = g_ref[0]  # [N, C] f32
+
+    def body(r, _):
+        m = m0 + r
+        contrib = jnp.sum(
+            jnp.where(win == m, g, 0.0), axis=0, keepdims=True
+        )  # [1, C]
+        dh_ref[0, pl.ds(r, 1), :] = contrib
+        return 0
+
+    jax.lax.fori_loop(0, tile, body, 0)
+
+
+def _pallas_bwd(win_idx, g, n_out, tile=128):
+    b, n, c = g.shape
+    n_pad = n_out + ((-n_out) % tile)
+    grid = (b, n_pad // tile)
+    dh = pl.pallas_call(
+        functools.partial(_bwd_kernel, tile=tile),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, n, c), lambda ib, it: (ib, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, c), lambda ib, it: (ib, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile, c), lambda ib, it: (ib, it, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, c), jnp.float32),
+    )(win_idx, g)
+    return dh[:, :n_out]
+
+
+# -- reference (CPU / testing) path --------------------------------------
+
+
+def _reference_fwd(h, idx, mask):
+    gathered = jax.vmap(lambda a, i: a[i])(h, idx)  # [B, N, K, C]
+    masked = jnp.where(mask[..., None], gathered.astype(jnp.float32), _NEG)
+    winner = jnp.argmax(masked, axis=-2).astype(jnp.int32)
+    return jnp.max(masked, axis=-2), winner
+
+
+def _win_to_idx(idx, winner):
+    """win_idx[b, n, c] = idx[b, n, winner[b, n, c]] via K elementwise
+    passes (channel-dependent gather over the tiny K axis)."""
+    k = idx.shape[-1]
+    out = jnp.zeros(winner.shape, jnp.int32)
+    for kk in range(k):
+        out = jnp.where(winner == kk, idx[..., kk][..., None], out)
+    return out
+
+
+# -- public op ------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def gather_max(h, idx, mask):
+    """``[B, N, C], [B, N, K], [B, N, K] -> [B, N, C]`` masked neighbor
+    max with single-winner gradients. Rows with no valid neighbor
+    return ``-3e38`` (callers mask them)."""
+    out, _ = _fwd(h, idx, mask)
+    return out
+
+
+def _fwd(h, idx, mask):
+    if jax.default_backend() == "tpu":
+        return _pallas_fwd(h, idx, mask)
+    return _reference_fwd(h, idx, mask)
+
+
+def _gather_max_fwd(h, idx, mask):
+    out, winner = _fwd(h, idx, mask)
+    win_idx = _win_to_idx(idx, winner)
+    # Zero-size carrier keeps h's dtype in the residuals as a JAX type.
+    return out, (win_idx, h.shape[1], jnp.zeros((0,), h.dtype))
+
+
+def _gather_max_bwd(res, g):
+    win_idx, n_out, dtype_carrier = res
+    h_dtype = dtype_carrier.dtype
+    g = g.astype(jnp.float32)
+    if jax.default_backend() == "tpu":
+        dh = _pallas_bwd(win_idx, g, n_out)
+    else:
+        b, n, c = g.shape
+        dh = jnp.zeros((b, n_out, c), jnp.float32)
+        bidx = jnp.arange(b)[:, None, None]
+        cidx = jnp.arange(c)[None, None, :]
+        dh = dh.at[bidx, win_idx, cidx].add(g)
+    return dh.astype(h_dtype), None, None
+
+
+gather_max.defvjp(_gather_max_fwd, _gather_max_bwd)
+
+
+def masked_nbr_max(h, nbr_idx, nbr_mask):
+    """Convenience wrapper over :func:`gather_max`: accepts unbatched
+    ``[N, C]`` or batched ``[B, N, C]`` features, replaces the -inf of
+    all-masked rows with 0 (padded points)."""
+    unbatched = h.ndim == 2
+    if unbatched:
+        h, nbr_idx, nbr_mask = h[None], nbr_idx[None], nbr_mask[None]
+    out = gather_max(h, nbr_idx, nbr_mask)
+    any_valid = jnp.any(nbr_mask, axis=-1)[..., None]
+    out = jnp.where(any_valid, out, 0.0).astype(h.dtype)
+    return out[0] if unbatched else out
