@@ -56,7 +56,7 @@ def build_operators(
       :class:`GradDiv` (batched when ``pos`` is batched).
     """
 
-    def single(pos, normal, point_mask):
+    def frames_and_graph(pos, normal, point_mask):
         nbr_idx, nbr_mask = knn(pos, k, point_mask, method=knn_method)
         if normal is None:
             nbr_n, mask_n = knn(pos, normal_k, point_mask,
@@ -65,6 +65,14 @@ def build_operators(
         else:
             n = normal
             xb, yb = build_tangent_basis(n)
+        if point_mask is not None:
+            nbr_mask = nbr_mask & point_mask[:, None]
+        return n, xb, yb, nbr_idx, nbr_mask
+
+    def single(pos, normal, point_mask):
+        n, xb, yb, nbr_idx, nbr_mask = frames_and_graph(
+            pos, normal, point_mask
+        )
         return build_grad_div(
             pos, n, xb, yb, nbr_idx, nbr_mask, point_mask,
             kernel_width=kernel_width, regularizer=regularizer,
@@ -74,6 +82,20 @@ def build_operators(
         return single(pos, normal, point_mask)
     in_axes = (0, None if normal is None else 0,
                None if point_mask is None else 0)
+
+    if jax.default_backend() == "tpu":
+        # Fused Pallas operator construction (ops/wls_fused.py): the
+        # whole WLS pipeline in one kernel instead of ~150 small ones.
+        from ..ops.wls_fused import build_grad_div_fused
+
+        n, xb, yb, nbr_idx, nbr_mask = jax.vmap(
+            frames_and_graph, in_axes=in_axes
+        )(pos, normal, point_mask)
+        return build_grad_div_fused(
+            pos, n, xb, yb, nbr_idx, nbr_mask,
+            kernel_width=kernel_width, regularizer=regularizer,
+        )
+
     return jax.vmap(single, in_axes=in_axes)(pos, normal, point_mask)
 
 

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry.grad_div import GradDiv
-from ..geometry.operators import I_J, curl, hodge_laplacian, norm
+from ..geometry.operators import I_J, J, curl, norm
 from .mlp import MLP, VectorMLP
 
 __all__ = ["DeltaConv", "gather_neighbors"]
@@ -135,17 +135,25 @@ class DeltaConv(lnn.Module):
                 x_max = _aggregate(h, gd.nbr_mask, self.aggr)
 
         # Operator branch: scalar and vector calculus features.
-        x_cat = jnp.concatenate(
-            [x, gd.div(v), curl(v, gd), norm(v)], axis=-1
-        )
+        # All operator applications are fused into wide matmuls:
+        # div([v, Jv]) yields div(v) and -curl(v) in ONE apply (the
+        # reference recomputes them as separate sparse matvecs,
+        # deltaconv.py:57,66 + operators.py:35-46), and
+        # grad([div_v, curl_v]) yields both Hodge-Laplacian terms in
+        # one — narrow-column batched matmuls waste the MXU.
+        c = x.shape[-1]
+        dd = gd.div(jnp.concatenate([v, J(v)], axis=-1))  # [..., 2C]
+        div_v = dd[..., :c]
+        curl_v = -dd[..., c:]
+        x_cat = jnp.concatenate([x, div_v, curl_v, norm(v)], axis=-1)
         x = x_max + MLP(channels, name="s_mlp")(x_cat, train=train,
                                                 mask=point_mask)
 
         # Vector stream.
         if self.vector:
-            v_cat = jnp.concatenate(
-                [v, hodge_laplacian(v, gd), gd.grad(x)], axis=-1
-            )
+            gg = gd.grad(jnp.concatenate([div_v, curl_v], axis=-1))
+            hodge = -(gg[..., :c] + J(gg[..., c:]))
+            v_cat = jnp.concatenate([v, hodge, gd.grad(x)], axis=-1)
             v = VectorMLP(channels, name="v_mlp")(I_J(v_cat), train=train,
                                                   mask=point_mask)
 

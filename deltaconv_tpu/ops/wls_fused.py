@@ -1,0 +1,229 @@
+"""Fused MLS operator construction (Pallas).
+
+Collapses the entire per-neighborhood pipeline of
+``geometry.grad_div.build_grad_div`` — Gaussian weights, quadratic-
+basis normal equations, unrolled 6x6 Cholesky solve, height-field
+partials, inverse metric, tangent-vector mapping, div composition —
+into ONE Pallas program over ``[T, K]`` VMEM tiles. The XLA version
+lowers to ~150 small kernels whose launch overhead dominates on TPU;
+here everything stays in registers/VMEM.
+
+Inputs are cheap XLA elementwise precomputations over one gathered
+``[B, N, K, 9]`` neighbor table (positions + frames):
+
+  u, v     tangent coords (offset . x_basis / y_basis; exact since the
+           bases are orthogonal to the normal)
+  dist     Euclidean edge length
+  patch    offset . normal (the height samples)
+  d_*      frame dot products that make the basis transformation
+           LINEAR in the fitted partials h_x, h_y:
+           gamma_x . xb_j = xc.xb_j + h_x (nc.xb_j), etc.
+
+Outputs per-edge grad/div coefficients (pre-normalization); the
+per-cloud infinity-norm normalization is a cheap XLA epilogue that
+scales grad and div by the same scalar (div is linear in grad).
+Falls back to the XLA path off-TPU and when shape_regularizer is set.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..geometry.grad_div import GradDiv
+
+__all__ = ["build_grad_div_fused"]
+
+_EPS = 1e-5
+
+
+def _kernel(edges_ref, g_ref, d_ref, *, kernel_width,
+            regularizer, k):
+    """edges_ref: [1, 12, T, K] stacked (u, v, dist, patch, mask,
+    d_xx, d_xy, d_yx, d_yy, d_nx, d_ny, avg-broadcast).
+    Outputs g/d: [1, 2, T, K] (components on the leading axis so
+    lanes stay the K dimension)."""
+    u = edges_ref[0, 0]
+    v = edges_ref[0, 1]
+    dist = edges_ref[0, 2]
+    patch = edges_ref[0, 3]
+    mask = edges_ref[0, 4]
+    d_xx = edges_ref[0, 5]
+    d_xy = edges_ref[0, 6]
+    d_yx = edges_ref[0, 7]
+    d_yy = edges_ref[0, 8]
+    d_nx = edges_ref[0, 9]
+    d_ny = edges_ref[0, 10]
+    avg = edges_ref[0, 11]  # per-cloud scalar broadcast to [T, K]
+
+    # 1. Normalized Gaussian weights (grad_div_mls.py:100-116 semantics).
+    denom = jnp.maximum((kernel_width * avg) ** 2, 1e-20)
+    w = jnp.exp(-(dist * dist) / denom) * mask
+    w = w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), _EPS)
+
+    # 2. Quadratic patch basis.
+    one = jnp.ones_like(u)
+    basis = [one, u, v, u * u, u * v, v * v]
+    nb = 6
+
+    # 3. Normal equations A = B^T W B + lam I (21 unique entries, [T,1]).
+    A = [[None] * nb for _ in range(nb)]
+    for i in range(nb):
+        for j in range(i, nb):
+            acc = jnp.sum(w * basis[i] * basis[j], axis=1, keepdims=True)
+            if i == j:
+                acc = acc + regularizer
+            A[i][j] = acc
+
+    # 4. Unrolled Cholesky.
+    L = [[None] * nb for _ in range(nb)]
+    inv_d = [None] * nb
+    for j in range(nb):
+        s = A[j][j]
+        for t in range(j):
+            s = s - L[j][t] * L[j][t]
+        L[j][j] = jnp.sqrt(jnp.maximum(s, 1e-20))
+        inv_d[j] = 1.0 / L[j][j]
+        for i in range(j + 1, nb):
+            s = A[j][i]
+            for t in range(j):
+                s = s - L[i][t] * L[j][t]
+            L[i][j] = s * inv_d[j]
+
+    # 5. Solve A Z = (W B)^T: Z rows are per-edge wls coefficients.
+    rhs = [w * b for b in basis]
+    y = [None] * nb
+    for i in range(nb):
+        t = rhs[i]
+        for kk in range(i):
+            t = t - L[i][kk] * y[kk]
+        y[i] = t * inv_d[i]
+    z = [None] * nb
+    for i in reversed(range(nb)):
+        t = y[i]
+        for kk in range(i + 1, nb):
+            t = t - L[kk][i] * z[kk]
+        z[i] = t * inv_d[i]
+
+    g1, g2 = z[1], z[2]  # per-edge grad coefficients [T, K]
+
+    # 6. Height-field coefficients c_i = sum_k z_i patch.
+    c = [jnp.sum(z[i] * patch, axis=1, keepdims=True) for i in range(6)]
+    h_x = c[1] + 2.0 * c[3] * u + c[4] * v
+    h_y = c[2] + c[4] * u + 2.0 * c[5] * v
+
+    # 7. Inverse first fundamental form (supplement eq. 9).
+    det = 1.0 + h_x * h_x + h_y * h_y
+    m11 = (1.0 + h_y * h_y) / det
+    m12 = -(h_x * h_y) / det
+    m22 = (1.0 + h_x * h_x) / det
+
+    # 8. Basis transformation, linear in h (supplement eq. 15).
+    bt11 = d_xx + h_x * d_nx
+    bt12 = d_xy + h_x * d_ny
+    bt21 = d_yx + h_y * d_nx
+    bt22 = d_yy + h_y * d_ny
+
+    # 9. Vector mapping M = inv_metric @ bt; div row = grad row @ M.
+    M11 = m11 * bt11 + m12 * bt21
+    M12 = m11 * bt12 + m12 * bt22
+    M21 = m12 * bt11 + m22 * bt21
+    M22 = m12 * bt12 + m22 * bt22
+
+    d1 = g1 * M11 + g2 * M21
+    d2 = g1 * M12 + g2 * M22
+
+    g_ref[0, 0] = g1
+    g_ref[0, 1] = g2
+    d_ref[0, 0] = d1
+    d_ref[0, 1] = d2
+
+
+def build_grad_div_fused(pos, normal, x_basis, y_basis, nbr_idx, nbr_mask,
+                         kernel_width: float = 1.0,
+                         regularizer: float = 0.001,
+                         normalized: bool = True,
+                         tile: int = 256) -> GradDiv:
+    """Batched fused operator build: ``pos [B, N, 3]`` etc. -> GradDiv.
+
+    Semantics match ``jax.vmap(geometry.grad_div.build_grad_div)``
+    (without shape_regularizer); see the module docstring.
+    """
+    b, n, _ = pos.shape
+    k = nbr_idx.shape[-1]
+    em = nbr_mask.astype(jnp.float32)
+
+    # One gather for the whole neighbor table.
+    table = jnp.concatenate([pos, x_basis, y_basis], axis=-1)  # [B, N, 9]
+    tab_g = jax.vmap(lambda t, i: t[i])(table, nbr_idx)  # [B, N, K, 9]
+    pos_g, xb_g, yb_g = tab_g[..., :3], tab_g[..., 3:6], tab_g[..., 6:9]
+
+    off = pos_g - pos[:, :, None, :]
+    dist = jnp.linalg.norm(off, axis=-1)
+    patch = jnp.sum(off * normal[:, :, None, :], axis=-1)
+    u = jnp.sum(off * x_basis[:, :, None, :], axis=-1)
+    v = jnp.sum(off * y_basis[:, :, None, :], axis=-1)
+
+    def dots(a, bg):
+        return jnp.sum(a[:, :, None, :] * bg, axis=-1)
+
+    # Per-cloud mean of per-point mean edge lengths.
+    cnt = jnp.maximum(jnp.sum(em, axis=2), 1.0)
+    point_mean = jnp.sum(dist * em, axis=2) / cnt  # [B, N]
+    pm = jnp.any(nbr_mask, axis=2).astype(jnp.float32)
+    avg = jnp.sum(point_mean * pm, axis=1) / jnp.maximum(
+        jnp.sum(pm, axis=1), 1.0
+    )  # [B]
+
+    edges = jnp.stack([
+        u, v, dist, patch, em,
+        dots(x_basis, xb_g), dots(x_basis, yb_g),
+        dots(y_basis, xb_g), dots(y_basis, yb_g),
+        dots(normal, xb_g), dots(normal, yb_g),
+        jnp.broadcast_to(avg[:, None, None], (b, n, k)),
+    ], axis=1)  # [B, 12, N, K]
+
+    # Pad N to the tile size.
+    n_pad = n + ((-n) % tile)
+    if n_pad != n:
+        edges = jnp.pad(edges, ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
+
+    g_coef, d_coef = pl.pallas_call(
+        functools.partial(_kernel, kernel_width=float(kernel_width),
+                          regularizer=float(regularizer), k=k),
+        grid=(b, n_pad // tile),
+        in_specs=[
+            pl.BlockSpec((1, 12, tile, k), lambda ib, it: (ib, 0, it, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 2, tile, k), lambda ib, it: (ib, 0, it, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, tile, k), lambda ib, it: (ib, 0, it, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 2, n_pad, k), jnp.float32),
+            jax.ShapeDtypeStruct((b, 2, n_pad, k), jnp.float32),
+        ],
+    )(edges)
+    # [B, 2, N, K] -> [B, N, K, 2]
+    g_coef = jnp.moveaxis(g_coef[:, :, :n], 1, -1)
+    d_coef = jnp.moveaxis(d_coef[:, :, :n], 1, -1)
+
+    if normalized:
+        # Per-cloud infinity norm of grad; div scales identically
+        # (it is the grad row composed with an orthogonal-ish map).
+        sum_abs = jnp.sum(jnp.abs(g_coef), axis=2)  # [B, N, 2]
+        row_norm = jnp.linalg.norm(sum_abs, axis=-1) * pm  # [B, N]
+        inf_norm = jnp.max(row_norm, axis=1)  # [B]
+        scale = jnp.where(inf_norm > 1e-5, 1.0 / inf_norm, 1.0)
+        g_coef = g_coef * scale[:, None, None, None]
+        d_coef = d_coef * scale[:, None, None, None]
+
+    return GradDiv(nbr_idx=nbr_idx, nbr_mask=nbr_mask,
+                   grad_coef=g_coef, div_coef=d_coef)
