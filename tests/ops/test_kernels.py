@@ -1,0 +1,95 @@
+"""Pallas kernel tests.
+
+The CPU suite exercises the reference paths these kernels must match;
+the kernels themselves execute only on TPU, where the `tpu` marker
+variants compare them against the reference implementations (run
+`pytest -m tpu` on a TPU host; the driver's bench run also covers them
+end-to-end).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deltaconv_tpu.ops.gather_max import (
+    _reference_fwd,
+    _win_to_idx,
+    gather_max,
+    masked_nbr_max,
+)
+
+ON_TPU = jax.default_backend() == "tpu"
+
+
+def _inputs(rng, b=4, n=200, k=10, c=32):
+    h = jnp.asarray(rng.random((b, n, c)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, n, (b, n, k)).astype(np.int32))
+    mask = np.ones((b, n, k), bool)
+    mask[:, :, k - 2:] = False
+    return h, idx, jnp.asarray(mask)
+
+
+def test_gather_max_reference_path(rng):
+    """On any backend, gather_max matches a numpy gather+max."""
+    h, idx, mask = _inputs(rng)
+    out = np.asarray(jax.jit(gather_max)(h, idx, mask))
+    hn, idxn, maskn = map(np.asarray, (h, idx, mask))
+    want = np.where(maskn[..., None], hn[
+        np.arange(hn.shape[0])[:, None, None], idxn], -3.0e38).max(axis=2)
+    np.testing.assert_allclose(out, want, atol=1e-5)
+
+
+def test_gather_max_gradient_single_winner(rng):
+    h, idx, mask = _inputs(rng)
+
+    def loss(h):
+        return jnp.sum(gather_max(h, idx, mask) ** 2)
+
+    g = np.asarray(jax.jit(jax.grad(loss))(h))
+    assert np.all(np.isfinite(g))
+
+    # Gradient lands exactly on winner rows.
+    out, winner = _reference_fwd(h, idx, mask)
+    win_idx = np.asarray(_win_to_idx(idx, winner))
+    b, n, c = g.shape
+    expected = np.zeros_like(g)
+    go = 2 * np.asarray(out)
+    for bi in range(b):
+        for ni in range(n):
+            for ci in range(c):
+                expected[bi, win_idx[bi, ni, ci], ci] += go[bi, ni, ci]
+    np.testing.assert_allclose(g, expected, atol=1e-4)
+
+
+def test_masked_nbr_max_unbatched(rng):
+    h, idx, mask = _inputs(rng, b=1)
+    out_b = masked_nbr_max(h, idx, mask)
+    out_u = masked_nbr_max(h[0], idx[0], mask[0])
+    np.testing.assert_allclose(np.asarray(out_b[0]), np.asarray(out_u))
+
+
+@pytest.mark.skipif(not ON_TPU, reason="pallas kernels need a TPU")
+def test_wls_fused_matches_reference_on_tpu(rng):
+    from deltaconv_tpu.geometry.frames import build_tangent_basis
+    from deltaconv_tpu.geometry.grad_div import build_grad_div
+    from deltaconv_tpu.geometry.knn import knn
+    from deltaconv_tpu.ops.wls_fused import build_grad_div_fused
+
+    b, n, k = 4, 256, 12
+    pos = jnp.asarray(rng.random((b, n, 3)).astype(np.float32))
+    nrm = jnp.asarray(rng.random((b, n, 3)).astype(np.float32))
+    nrm = nrm / jnp.linalg.norm(nrm, axis=-1, keepdims=True)
+    nbr, mask = jax.jit(jax.vmap(lambda p: knn(p, k)))(pos)
+    xb, yb = jax.jit(jax.vmap(build_tangent_basis))(nrm)
+
+    ref = jax.jit(jax.vmap(
+        lambda p, nn_, x, y, i, m: build_grad_div(p, nn_, x, y, i, m)
+    ))(pos, nrm, xb, yb, nbr, mask)
+    fused = jax.jit(build_grad_div_fused)(pos, nrm, xb, yb, nbr, mask)
+    np.testing.assert_allclose(
+        np.asarray(ref.grad_coef), np.asarray(fused.grad_coef), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref.div_coef), np.asarray(fused.div_coef), atol=1e-5
+    )
