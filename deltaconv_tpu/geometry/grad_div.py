@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .linalg import chol_solve
-from .utils import EPS, batch_dot
+from .utils import EPS, batch_dot, safe_norm
 
 __all__ = ["GradDiv", "build_grad_div", "coords_projected", "gaussian_weights",
            "weighted_least_squares", "fit_vector_mapping"]
@@ -280,7 +280,8 @@ def build_grad_div(
     nbr_idx = jnp.where(nbr_mask, nbr_idx, 0).astype(jnp.int32)
 
     coords = coords_projected(pos, normal, x_basis, y_basis, nbr_idx)
-    dist = jnp.linalg.norm(pos[nbr_idx] - pos[:, None, :], axis=-1)
+    # safe_norm: zero self-edge offsets NaN under linalg.norm's VJP.
+    dist = safe_norm(pos[nbr_idx] - pos[:, None, :], axis=-1)
     weights = gaussian_weights(dist, nbr_mask, point_mask, kernel_width)
 
     if shape_regularizer is None:

@@ -35,46 +35,42 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..geometry.grad_div import GradDiv
+from ..geometry.utils import safe_norm
 
 __all__ = ["build_grad_div_fused"]
 
 _EPS = 1e-5
 
 
-def _kernel(edges_ref, g_ref, d_ref, *, kernel_width,
-            regularizer, k):
-    """edges_ref: [1, 12, T, K] stacked (u, v, dist, patch, mask,
-    d_xx, d_xy, d_yx, d_yy, d_nx, d_ny, avg-broadcast).
-    Outputs g/d: [1, 2, T, K] (components on the leading axis so
-    lanes stay the K dimension)."""
-    u = edges_ref[0, 0]
-    v = edges_ref[0, 1]
-    dist = edges_ref[0, 2]
-    patch = edges_ref[0, 3]
-    mask = edges_ref[0, 4]
-    d_xx = edges_ref[0, 5]
-    d_xy = edges_ref[0, 6]
-    d_yx = edges_ref[0, 7]
-    d_yy = edges_ref[0, 8]
-    d_nx = edges_ref[0, 9]
-    d_ny = edges_ref[0, 10]
-    avg = edges_ref[0, 11]  # per-cloud scalar broadcast to [T, K]
+def _wls_math(planes, kernel_width, regularizer):
+    """The full WLS pipeline as pure jnp over stacked edge planes.
+
+    ``planes``: ``[12, ..., K]`` stacked (u, v, dist, patch, mask,
+    d_xx, d_xy, d_yx, d_yy, d_nx, d_ny, avg-broadcast); reductions run
+    over the trailing K axis, so this same function serves as the
+    Pallas kernel body (on ``[12, T, K]`` tiles), the XLA fallback, and
+    the backward rule.
+
+    Returns ``(g, d)``: each ``[2, ..., K]``.
+    """
+    (u, v, dist, patch, mask, d_xx, d_xy, d_yx, d_yy, d_nx, d_ny,
+     avg) = [planes[i] for i in range(12)]
 
     # 1. Normalized Gaussian weights (grad_div_mls.py:100-116 semantics).
     denom = jnp.maximum((kernel_width * avg) ** 2, 1e-20)
     w = jnp.exp(-(dist * dist) / denom) * mask
-    w = w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), _EPS)
+    w = w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), _EPS)
 
     # 2. Quadratic patch basis.
     one = jnp.ones_like(u)
     basis = [one, u, v, u * u, u * v, v * v]
     nb = 6
 
-    # 3. Normal equations A = B^T W B + lam I (21 unique entries, [T,1]).
+    # 3. Normal equations A = B^T W B + lam I (21 unique entries).
     A = [[None] * nb for _ in range(nb)]
     for i in range(nb):
         for j in range(i, nb):
-            acc = jnp.sum(w * basis[i] * basis[j], axis=1, keepdims=True)
+            acc = jnp.sum(w * basis[i] * basis[j], axis=-1, keepdims=True)
             if i == j:
                 acc = acc + regularizer
             A[i][j] = acc
@@ -83,19 +79,19 @@ def _kernel(edges_ref, g_ref, d_ref, *, kernel_width,
     L = [[None] * nb for _ in range(nb)]
     inv_d = [None] * nb
     for j in range(nb):
-        s = A[j][j]
+        sdiag = A[j][j]
         for t in range(j):
-            s = s - L[j][t] * L[j][t]
-        L[j][j] = jnp.sqrt(jnp.maximum(s, 1e-20))
+            sdiag = sdiag - L[j][t] * L[j][t]
+        L[j][j] = jnp.sqrt(jnp.maximum(sdiag, 1e-20))
         inv_d[j] = 1.0 / L[j][j]
         for i in range(j + 1, nb):
-            s = A[j][i]
+            soff = A[j][i]
             for t in range(j):
-                s = s - L[i][t] * L[j][t]
-            L[i][j] = s * inv_d[j]
+                soff = soff - L[i][t] * L[j][t]
+            L[i][j] = soff * inv_d[j]
 
     # 5. Solve A Z = (W B)^T: Z rows are per-edge wls coefficients.
-    rhs = [w * b for b in basis]
+    rhs = [w * bb for bb in basis]
     y = [None] * nb
     for i in range(nb):
         t = rhs[i]
@@ -109,10 +105,10 @@ def _kernel(edges_ref, g_ref, d_ref, *, kernel_width,
             t = t - L[kk][i] * z[kk]
         z[i] = t * inv_d[i]
 
-    g1, g2 = z[1], z[2]  # per-edge grad coefficients [T, K]
+    g1, g2 = z[1], z[2]  # per-edge grad coefficients
 
     # 6. Height-field coefficients c_i = sum_k z_i patch.
-    c = [jnp.sum(z[i] * patch, axis=1, keepdims=True) for i in range(6)]
+    c = [jnp.sum(z[i] * patch, axis=-1, keepdims=True) for i in range(6)]
     h_x = c[1] + 2.0 * c[3] * u + c[4] * v
     h_y = c[2] + c[4] * u + 2.0 * c[5] * v
 
@@ -137,17 +133,78 @@ def _kernel(edges_ref, g_ref, d_ref, *, kernel_width,
     d1 = g1 * M11 + g2 * M21
     d2 = g1 * M12 + g2 * M22
 
-    g_ref[0, 0] = g1
-    g_ref[0, 1] = g2
-    d_ref[0, 0] = d1
-    d_ref[0, 1] = d2
+    return jnp.stack([g1, g2]), jnp.stack([d1, d2])
+
+
+def _kernel(edges_ref, g_ref, d_ref, *, kernel_width, regularizer, k):
+    """edges_ref: [1, 12, T, K]; outputs g/d: [1, 2, T, K]."""
+    g, d = _wls_math(edges_ref[0], kernel_width, regularizer)
+    g_ref[0] = g
+    d_ref[0] = d
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def _wls_pallas(edges, kernel_width, regularizer, tile, interpret=False):
+    """Pallas forward over [B, 12, N, K] edges -> (g, d) [B, 2, N, K].
+
+    Differentiable: the backward re-runs the identical jnp math
+    (_wls_math) under jax.vjp — the fused kernel is a forward-only
+    fast path, gradients w.r.t. positions/frames stay exact.
+    """
+    return _wls_pallas_fwd_impl(edges, kernel_width, regularizer, tile,
+                                interpret)
+
+
+def _wls_pallas_fwd_impl(edges, kernel_width, regularizer, tile,
+                         interpret=False):
+    b, _, n_pad, k = edges.shape
+    return pl.pallas_call(
+        functools.partial(_kernel, kernel_width=float(kernel_width),
+                          regularizer=float(regularizer), k=k),
+        grid=(b, n_pad // tile),
+        in_specs=[
+            pl.BlockSpec((1, 12, tile, k), lambda ib, it: (ib, 0, it, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 2, tile, k), lambda ib, it: (ib, 0, it, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, tile, k), lambda ib, it: (ib, 0, it, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 2, n_pad, k), jnp.float32),
+            jax.ShapeDtypeStruct((b, 2, n_pad, k), jnp.float32),
+        ],
+        interpret=interpret,
+    )(edges)
+
+
+def _wls_vjp_fwd(edges, kernel_width, regularizer, tile, interpret=False):
+    out = _wls_pallas_fwd_impl(edges, kernel_width, regularizer, tile,
+                               interpret)
+    return out, edges
+
+
+def _wls_vjp_bwd(kernel_width, regularizer, tile, interpret, edges, cts):
+    def ref(e):
+        g, d = _wls_math(jnp.moveaxis(e, 1, 0), kernel_width, regularizer)
+        # [2, B, N, K] -> [B, 2, N, K]
+        return jnp.moveaxis(g, 0, 1), jnp.moveaxis(d, 0, 1)
+
+    _, vjp = jax.vjp(ref, edges)
+    return vjp(cts)
+
+
+_wls_pallas.defvjp(_wls_vjp_fwd, _wls_vjp_bwd)
 
 
 def build_grad_div_fused(pos, normal, x_basis, y_basis, nbr_idx, nbr_mask,
                          kernel_width: float = 1.0,
                          regularizer: float = 0.001,
                          normalized: bool = True,
-                         tile: int = 256) -> GradDiv:
+                         tile: int = 256,
+                         interpret: bool = False) -> GradDiv:
     """Batched fused operator build: ``pos [B, N, 3]`` etc. -> GradDiv.
 
     Semantics match ``jax.vmap(geometry.grad_div.build_grad_div)``
@@ -163,7 +220,9 @@ def build_grad_div_fused(pos, normal, x_basis, y_basis, nbr_idx, nbr_mask,
     pos_g, xb_g, yb_g = tab_g[..., :3], tab_g[..., 3:6], tab_g[..., 6:9]
 
     off = pos_g - pos[:, :, None, :]
-    dist = jnp.linalg.norm(off, axis=-1)
+    # safe_norm: the self-edge offset is exactly zero and linalg.norm
+    # would backprop NaN through it.
+    dist = safe_norm(off, axis=-1)
     patch = jnp.sum(off * normal[:, :, None, :], axis=-1)
     u = jnp.sum(off * x_basis[:, :, None, :], axis=-1)
     v = jnp.sum(off * y_basis[:, :, None, :], axis=-1)
@@ -192,25 +251,8 @@ def build_grad_div_fused(pos, normal, x_basis, y_basis, nbr_idx, nbr_mask,
     if n_pad != n:
         edges = jnp.pad(edges, ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
 
-    g_coef, d_coef = pl.pallas_call(
-        functools.partial(_kernel, kernel_width=float(kernel_width),
-                          regularizer=float(regularizer), k=k),
-        grid=(b, n_pad // tile),
-        in_specs=[
-            pl.BlockSpec((1, 12, tile, k), lambda ib, it: (ib, 0, it, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 2, tile, k), lambda ib, it: (ib, 0, it, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, tile, k), lambda ib, it: (ib, 0, it, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, 2, n_pad, k), jnp.float32),
-            jax.ShapeDtypeStruct((b, 2, n_pad, k), jnp.float32),
-        ],
-    )(edges)
+    g_coef, d_coef = _wls_pallas(edges, float(kernel_width),
+                                 float(regularizer), tile, interpret)
     # [B, 2, N, K] -> [B, N, K, 2]
     g_coef = jnp.moveaxis(g_coef[:, :, :n], 1, -1)
     d_coef = jnp.moveaxis(d_coef[:, :, :n], 1, -1)

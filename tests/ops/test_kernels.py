@@ -69,6 +69,61 @@ def test_masked_nbr_max_unbatched(rng):
     np.testing.assert_allclose(np.asarray(out_b[0]), np.asarray(out_u))
 
 
+def _wls_inputs(rng, b=2, n=64, k=10):
+    from deltaconv_tpu.geometry.frames import build_tangent_basis
+    from deltaconv_tpu.geometry.knn import knn
+
+    pos = jnp.asarray(rng.random((b, n, 3)).astype(np.float32))
+    nrm = jnp.asarray(rng.random((b, n, 3)).astype(np.float32))
+    nrm = nrm / jnp.linalg.norm(nrm, axis=-1, keepdims=True)
+    nbr, mask = jax.jit(jax.vmap(lambda p: knn(p, k)))(pos)
+    xb, yb = jax.jit(jax.vmap(build_tangent_basis))(nrm)
+    return pos, nrm, xb, yb, nbr, mask
+
+
+def test_wls_fused_interpret_matches_reference(rng):
+    """Interpret-mode Pallas fused build == XLA build_grad_div (CPU)."""
+    from deltaconv_tpu.geometry.grad_div import build_grad_div
+    from deltaconv_tpu.ops.wls_fused import build_grad_div_fused
+
+    pos, nrm, xb, yb, nbr, mask = _wls_inputs(rng)
+    ref = jax.jit(jax.vmap(
+        lambda p, nn_, x, y, i, m: build_grad_div(p, nn_, x, y, i, m)
+    ))(pos, nrm, xb, yb, nbr, mask)
+    fused = build_grad_div_fused(pos, nrm, xb, yb, nbr, mask,
+                                 tile=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(ref.grad_coef),
+                               np.asarray(fused.grad_coef), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ref.div_coef),
+                               np.asarray(fused.div_coef), atol=2e-5)
+
+
+def test_wls_fused_gradient_matches_reference(rng):
+    """The custom VJP through the fused build matches grads of the
+    XLA path w.r.t. positions (the geometry IS differentiated in the
+    end-to-end training step, so this must stay exact)."""
+    from deltaconv_tpu.geometry.grad_div import build_grad_div
+    from deltaconv_tpu.ops.wls_fused import build_grad_div_fused
+
+    pos, nrm, xb, yb, nbr, mask = _wls_inputs(rng)
+
+    def loss_ref(p):
+        gd = jax.vmap(
+            lambda pp, nn_, x, y, i, m: build_grad_div(pp, nn_, x, y, i, m)
+        )(p, nrm, xb, yb, nbr, mask)
+        return jnp.sum(gd.grad_coef ** 2) + jnp.sum(jnp.sin(gd.div_coef))
+
+    def loss_fused(p):
+        gd = build_grad_div_fused(p, nrm, xb, yb, nbr, mask,
+                                  tile=64, interpret=True)
+        return jnp.sum(gd.grad_coef ** 2) + jnp.sum(jnp.sin(gd.div_coef))
+
+    g_ref = np.asarray(jax.grad(loss_ref)(pos))
+    g_fused = np.asarray(jax.grad(loss_fused)(pos))
+    assert np.all(np.isfinite(g_fused))
+    np.testing.assert_allclose(g_fused, g_ref, atol=5e-4, rtol=1e-3)
+
+
 @pytest.mark.skipif(not ON_TPU, reason="pallas kernels need a TPU")
 def test_wls_fused_matches_reference_on_tpu(rng):
     from deltaconv_tpu.geometry.frames import build_tangent_basis
