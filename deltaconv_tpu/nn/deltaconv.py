@@ -149,11 +149,13 @@ class DeltaConv(lnn.Module):
         x = x_max + MLP(channels, name="s_mlp")(x_cat, train=train,
                                                 mask=point_mask)
 
-        # Vector stream.
+        # Vector stream. Both Hodge-Laplacian terms AND grad(x') come
+        # from the SAME grad operator, so all three ride ONE 3C-wide
+        # apply (one read of the dense W_grad instead of two).
         if self.vector:
-            gg = gd.grad(jnp.concatenate([div_v, curl_v], axis=-1))
-            hodge = -(gg[..., :c] + J(gg[..., c:]))
-            v_cat = jnp.concatenate([v, hodge, gd.grad(x)], axis=-1)
+            gg = gd.grad(jnp.concatenate([div_v, curl_v, x], axis=-1))
+            hodge = -(gg[..., :c] + J(gg[..., c:2 * c]))
+            v_cat = jnp.concatenate([v, hodge, gg[..., 2 * c:]], axis=-1)
             v = VectorMLP(channels, name="v_mlp")(I_J(v_cat), train=train,
                                                   mask=point_mask)
 

@@ -43,27 +43,30 @@ def _pad_to(x, multiple, axis, value=0):
 # -- forward kernel ------------------------------------------------------
 
 
-def _fwd_kernel(idx_ref, mask_ref, hi_ref, lo_ref, out_ref, win_ref,
+def _fwd_kernel(idx_ref, mask_ref, hilo_ref, out_ref, win_ref,
                 *, k, n):
-    """One k-major one-hot [K*T, N] feeding two bf16 MXU passes.
+    """One k-major one-hot [K*T, 2N] feeding ONE bf16 MXU pass.
 
     The feature table is pre-split h = hi + lo with hi = bf16(h),
-    lo = bf16(h - hi); one-hot rows are exact in bf16, so the two
-    passes reconstruct the gather to ~1e-6 relative (vs 2e-3 for a
-    single bf16 pass) at 2/3 the cost of Precision.HIGHEST.
+    lo = bf16(h - hi), stacked on the CONTRACTION axis as [2N, C];
+    the one-hot selects row m and row N+m (built with an iota mod N),
+    so a single dot reconstructs the gather exactly in the f32
+    accumulator (~1e-6 relative vs 2e-3 for a single bf16 pass).
+    Two separate dot(onehot, hi) + dot(onehot, lo) passes are NOT
+    safe: Mosaic algebraically rewrites them into dot(onehot, hi+lo)
+    with the add in bf16, silently dropping the lo term (observed at
+    C >= 128).
     """
     t = idx_ref.shape[1]
-    c = hi_ref.shape[2]
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (t, n), 1)
+    c = hilo_ref.shape[2]
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (t, 2 * n), 1) % n
 
     ones = [
         (idx_ref[0, :, kk][:, None] == col_iota).astype(jnp.bfloat16)
         for kk in range(k)
     ]
-    onehot = jnp.concatenate(ones, axis=0)  # [K*T, N], k-major rows
-    val = jnp.dot(onehot, hi_ref[0], preferred_element_type=jnp.float32)
-    val = val + jnp.dot(onehot, lo_ref[0],
-                        preferred_element_type=jnp.float32)
+    onehot = jnp.concatenate(ones, axis=0)  # [K*T, 2N], k-major rows
+    val = jnp.dot(onehot, hilo_ref[0], preferred_element_type=jnp.float32)
     # Static unrolled max/argmax over the K row-blocks (Mosaic handles
     # sliced sublane reads better than leading-axis reductions).
     best = jnp.full((t, c), _NEG, jnp.float32)
@@ -78,7 +81,7 @@ def _fwd_kernel(idx_ref, mask_ref, hi_ref, lo_ref, out_ref, win_ref,
     win_ref[0] = winner
 
 
-def _pallas_fwd(h, idx, mask, tile=64):
+def _pallas_fwd(h, idx, mask, tile=128, interpret=False):
     b, n, c = h.shape
     k = idx.shape[-1]
     idx_p = _pad_to(idx.astype(jnp.int32), tile, 1)
@@ -87,7 +90,13 @@ def _pallas_fwd(h, idx, mask, tile=64):
 
     hf = h.astype(jnp.float32)
     hi = hf.astype(jnp.bfloat16)
+    # Without the barrier XLA's excess-precision simplifier cancels
+    # f32(bf16(h)) -> h under jit, folding lo to zero and silently
+    # degrading the gather to single-pass bf16 (observed: 2e-3 rel
+    # error at C >= 128 while eager stayed exact).
+    hi = jax.lax.optimization_barrier(hi)
     lo = (hf - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    hilo = jnp.concatenate([hi, lo], axis=1)  # [B, 2N, C]
 
     grid = (b, n_pad // tile)
     out, winner = pl.pallas_call(
@@ -98,9 +107,7 @@ def _pallas_fwd(h, idx, mask, tile=64):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile, k), lambda ib, it: (ib, it, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, c), lambda ib, it: (ib, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, c), lambda ib, it: (ib, 0, 0),
+            pl.BlockSpec((1, 2 * n, c), lambda ib, it: (ib, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -113,7 +120,8 @@ def _pallas_fwd(h, idx, mask, tile=64):
             jax.ShapeDtypeStruct((b, n_pad, c), jnp.float32),
             jax.ShapeDtypeStruct((b, n_pad, c), jnp.int32),
         ],
-    )(idx_p, mask_p, hi, lo)
+        interpret=interpret,
+    )(idx_p, mask_p, hilo)
     return out[:, :n], winner[:, :n]
 
 

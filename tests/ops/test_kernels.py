@@ -69,6 +69,43 @@ def test_masked_nbr_max_unbatched(rng):
     np.testing.assert_allclose(np.asarray(out_b[0]), np.asarray(out_u))
 
 
+@pytest.mark.parametrize("c", [64, 256])
+def test_gather_max_pallas_exact_under_jit(rng, c):
+    """The hi/lo split must survive XLA's excess-precision pass: under
+    jit, f32(bf16(h)) used to cancel to h, folding lo to zero and
+    degrading gathered values to bf16 (2e-3 rel error at C >= 128).
+    Guarded by lax.optimization_barrier; exercised here in interpret
+    mode so the surrounding XLA jit graph is the real one."""
+    from deltaconv_tpu.ops.gather_max import _pallas_fwd
+
+    b, n, k = 2, 256, 10
+    h = jnp.asarray(rng.random((b, n, c)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, n, (b, n, k)).astype(np.int32))
+    mask = jnp.ones((b, n, k), bool)
+
+    out, _ = jax.jit(
+        lambda h, i, m: _pallas_fwd(h, i, m, tile=128, interpret=True)
+    )(h, idx, mask)
+    hn, idxn = np.asarray(h), np.asarray(idx)
+    want = hn[np.arange(b)[:, None, None], idxn].max(axis=2)
+    np.testing.assert_allclose(np.asarray(out), want, atol=1e-5)
+
+
+@pytest.mark.skipif(not ON_TPU, reason="pallas kernels need a TPU")
+@pytest.mark.parametrize("c", [64, 256])
+def test_gather_max_pallas_exact_under_jit_tpu(rng, c):
+    from deltaconv_tpu.ops.gather_max import _pallas_fwd
+
+    b, n, k = 2, 512, 12
+    h = jnp.asarray(rng.random((b, n, c)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, n, (b, n, k)).astype(np.int32))
+    mask = jnp.ones((b, n, k), bool)
+    out, _ = jax.jit(lambda h, i, m: _pallas_fwd(h, i, m))(h, idx, mask)
+    hn, idxn = np.asarray(h), np.asarray(idx)
+    want = hn[np.arange(b)[:, None, None], idxn].max(axis=2)
+    np.testing.assert_allclose(np.asarray(out), want, atol=1e-5)
+
+
 def _wls_inputs(rng, b=2, n=64, k=10):
     from deltaconv_tpu.geometry.frames import build_tangent_basis
     from deltaconv_tpu.geometry.knn import knn
