@@ -36,6 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..geometry.grad_div import GradDiv
 from ..geometry.utils import safe_norm
+from .gather_rows import gather_rows
 
 __all__ = ["build_grad_div_fused"]
 
@@ -45,13 +46,14 @@ _EPS = 1e-5
 def _wls_math(planes, kernel_width, regularizer):
     """The full WLS pipeline as pure jnp over stacked edge planes.
 
-    ``planes``: ``[12, ..., K]`` stacked (u, v, dist, patch, mask,
+    ``planes``: ``[12, ..., K, N']`` stacked (u, v, dist, patch, mask,
     d_xx, d_xy, d_yx, d_yy, d_nx, d_ny, avg-broadcast); reductions run
-    over the trailing K axis, so this same function serves as the
-    Pallas kernel body (on ``[12, T, K]`` tiles), the XLA fallback, and
-    the backward rule.
+    over the SECOND-TO-LAST (K) axis, so points ride the TPU lane
+    dimension (K=20 on lanes would waste 108 of 128). This same
+    function serves as the Pallas kernel body (on ``[12, K, T]``
+    tiles), the XLA fallback, and the backward rule.
 
-    Returns ``(g, d)``: each ``[2, ..., K]``.
+    Returns ``(g, d)``: each ``[2, ..., K, N']``.
     """
     (u, v, dist, patch, mask, d_xx, d_xy, d_yx, d_yy, d_nx, d_ny,
      avg) = [planes[i] for i in range(12)]
@@ -59,7 +61,7 @@ def _wls_math(planes, kernel_width, regularizer):
     # 1. Normalized Gaussian weights (grad_div_mls.py:100-116 semantics).
     denom = jnp.maximum((kernel_width * avg) ** 2, 1e-20)
     w = jnp.exp(-(dist * dist) / denom) * mask
-    w = w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), _EPS)
+    w = w / jnp.maximum(jnp.sum(w, axis=-2, keepdims=True), _EPS)
 
     # 2. Quadratic patch basis.
     one = jnp.ones_like(u)
@@ -70,7 +72,7 @@ def _wls_math(planes, kernel_width, regularizer):
     A = [[None] * nb for _ in range(nb)]
     for i in range(nb):
         for j in range(i, nb):
-            acc = jnp.sum(w * basis[i] * basis[j], axis=-1, keepdims=True)
+            acc = jnp.sum(w * basis[i] * basis[j], axis=-2, keepdims=True)
             if i == j:
                 acc = acc + regularizer
             A[i][j] = acc
@@ -108,7 +110,7 @@ def _wls_math(planes, kernel_width, regularizer):
     g1, g2 = z[1], z[2]  # per-edge grad coefficients
 
     # 6. Height-field coefficients c_i = sum_k z_i patch.
-    c = [jnp.sum(z[i] * patch, axis=-1, keepdims=True) for i in range(6)]
+    c = [jnp.sum(z[i] * patch, axis=-2, keepdims=True) for i in range(6)]
     h_x = c[1] + 2.0 * c[3] * u + c[4] * v
     h_y = c[2] + c[4] * u + 2.0 * c[5] * v
 
@@ -137,7 +139,7 @@ def _wls_math(planes, kernel_width, regularizer):
 
 
 def _kernel(edges_ref, g_ref, d_ref, *, kernel_width, regularizer, k):
-    """edges_ref: [1, 12, T, K]; outputs g/d: [1, 2, T, K]."""
+    """edges_ref: [1, 12, K, T]; outputs g/d: [1, 2, K, T]."""
     g, d = _wls_math(edges_ref[0], kernel_width, regularizer)
     g_ref[0] = g
     d_ref[0] = d
@@ -145,7 +147,7 @@ def _kernel(edges_ref, g_ref, d_ref, *, kernel_width, regularizer, k):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
 def _wls_pallas(edges, kernel_width, regularizer, tile, interpret=False):
-    """Pallas forward over [B, 12, N, K] edges -> (g, d) [B, 2, N, K].
+    """Pallas forward over [B, 12, K, N] edges -> (g, d) [B, 2, K, N].
 
     Differentiable: the backward re-runs the identical jnp math
     (_wls_math) under jax.vjp — the fused kernel is a forward-only
@@ -157,24 +159,24 @@ def _wls_pallas(edges, kernel_width, regularizer, tile, interpret=False):
 
 def _wls_pallas_fwd_impl(edges, kernel_width, regularizer, tile,
                          interpret=False):
-    b, _, n_pad, k = edges.shape
+    b, _, k, n_pad = edges.shape
     return pl.pallas_call(
         functools.partial(_kernel, kernel_width=float(kernel_width),
                           regularizer=float(regularizer), k=k),
         grid=(b, n_pad // tile),
         in_specs=[
-            pl.BlockSpec((1, 12, tile, k), lambda ib, it: (ib, 0, it, 0),
+            pl.BlockSpec((1, 12, k, tile), lambda ib, it: (ib, 0, 0, it),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 2, tile, k), lambda ib, it: (ib, 0, it, 0),
+            pl.BlockSpec((1, 2, k, tile), lambda ib, it: (ib, 0, 0, it),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, tile, k), lambda ib, it: (ib, 0, it, 0),
+            pl.BlockSpec((1, 2, k, tile), lambda ib, it: (ib, 0, 0, it),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, 2, n_pad, k), jnp.float32),
-            jax.ShapeDtypeStruct((b, 2, n_pad, k), jnp.float32),
+            jax.ShapeDtypeStruct((b, 2, k, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, 2, k, n_pad), jnp.float32),
         ],
         interpret=interpret,
     )(edges)
@@ -189,7 +191,7 @@ def _wls_vjp_fwd(edges, kernel_width, regularizer, tile, interpret=False):
 def _wls_vjp_bwd(kernel_width, regularizer, tile, interpret, edges, cts):
     def ref(e):
         g, d = _wls_math(jnp.moveaxis(e, 1, 0), kernel_width, regularizer)
-        # [2, B, N, K] -> [B, 2, N, K]
+        # [2, B, K, N] -> [B, 2, K, N]
         return jnp.moveaxis(g, 0, 1), jnp.moveaxis(d, 0, 1)
 
     _, vjp = jax.vjp(ref, edges)
@@ -214,48 +216,57 @@ def build_grad_div_fused(pos, normal, x_basis, y_basis, nbr_idx, nbr_mask,
     k = nbr_idx.shape[-1]
     em = nbr_mask.astype(jnp.float32)
 
-    # One gather for the whole neighbor table.
+    # One gather for the whole neighbor table — a Pallas one-hot
+    # matmul (ops/gather_rows.py): XLA's native gather made this the
+    # most expensive stage of the build (~9 GB/s on TPU). Output is
+    # k-major [B, K, N, 9]; the plane math below broadcasts per-point
+    # vectors as [B, 1, N, 3].
     table = jnp.concatenate([pos, x_basis, y_basis], axis=-1)  # [B, N, 9]
-    tab_g = jax.vmap(lambda t, i: t[i])(table, nbr_idx)  # [B, N, K, 9]
+    tab_g = gather_rows(table, nbr_idx, 128, interpret)  # [B, K, N, 9]
     pos_g, xb_g, yb_g = tab_g[..., :3], tab_g[..., 3:6], tab_g[..., 6:9]
 
-    off = pos_g - pos[:, :, None, :]
+    off = pos_g - pos[:, None, :, :]
     # safe_norm: the self-edge offset is exactly zero and linalg.norm
     # would backprop NaN through it.
     dist = safe_norm(off, axis=-1)
-    patch = jnp.sum(off * normal[:, :, None, :], axis=-1)
-    u = jnp.sum(off * x_basis[:, :, None, :], axis=-1)
-    v = jnp.sum(off * y_basis[:, :, None, :], axis=-1)
+    patch = jnp.sum(off * normal[:, None, :, :], axis=-1)
+    u = jnp.sum(off * x_basis[:, None, :, :], axis=-1)
+    v = jnp.sum(off * y_basis[:, None, :, :], axis=-1)
 
     def dots(a, bg):
-        return jnp.sum(a[:, :, None, :] * bg, axis=-1)
+        return jnp.sum(a[:, None, :, :] * bg, axis=-1)
+
+    emk = jnp.moveaxis(em, -1, 1)  # [B, K, N]
 
     # Per-cloud mean of per-point mean edge lengths.
-    cnt = jnp.maximum(jnp.sum(em, axis=2), 1.0)
-    point_mean = jnp.sum(dist * em, axis=2) / cnt  # [B, N]
+    cnt = jnp.maximum(jnp.sum(emk, axis=1), 1.0)
+    point_mean = jnp.sum(dist * emk, axis=1) / cnt  # [B, N]
     pm = jnp.any(nbr_mask, axis=2).astype(jnp.float32)
     avg = jnp.sum(point_mean * pm, axis=1) / jnp.maximum(
         jnp.sum(pm, axis=1), 1.0
     )  # [B]
 
+    # Planes stay [B, K, N] end to end: the WLS kernel reduces over K
+    # on the sublane axis with points on lanes, so NO transpose sits
+    # between the gather and the kernel.
     edges = jnp.stack([
-        u, v, dist, patch, em,
+        u, v, dist, patch, emk,
         dots(x_basis, xb_g), dots(x_basis, yb_g),
         dots(y_basis, xb_g), dots(y_basis, yb_g),
         dots(normal, xb_g), dots(normal, yb_g),
-        jnp.broadcast_to(avg[:, None, None], (b, n, k)),
-    ], axis=1)  # [B, 12, N, K]
+        jnp.broadcast_to(avg[:, None, None], (b, k, n)),
+    ], axis=1)  # [B, 12, K, N]
 
-    # Pad N to the tile size.
+    # Pad N (the lane axis) to the tile size.
     n_pad = n + ((-n) % tile)
     if n_pad != n:
-        edges = jnp.pad(edges, ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
+        edges = jnp.pad(edges, ((0, 0), (0, 0), (0, 0), (0, n_pad - n)))
 
     g_coef, d_coef = _wls_pallas(edges, float(kernel_width),
                                  float(regularizer), tile, interpret)
-    # [B, 2, N, K] -> [B, N, K, 2]
-    g_coef = jnp.moveaxis(g_coef[:, :, :n], 1, -1)
-    d_coef = jnp.moveaxis(d_coef[:, :, :n], 1, -1)
+    # [B, 2, K, N] -> [B, N, K, 2]
+    g_coef = jnp.transpose(g_coef[..., :n], (0, 3, 2, 1))
+    d_coef = jnp.transpose(d_coef[..., :n], (0, 3, 2, 1))
 
     if normalized:
         # Per-cloud infinity norm of grad; div scales identically

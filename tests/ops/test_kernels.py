@@ -179,9 +179,12 @@ def test_wls_fused_matches_reference_on_tpu(rng):
         lambda p, nn_, x, y, i, m: build_grad_div(p, nn_, x, y, i, m)
     ))(pos, nrm, xb, yb, nbr, mask)
     fused = jax.jit(build_grad_div_fused)(pos, nrm, xb, yb, nbr, mask)
+    # 5e-5: the Pallas table gather reconstructs positions from a
+    # hi/lo bf16 split (~1e-6 rel), slightly amplified by the WLS
+    # solve; the XLA reference gathers exact f32.
     np.testing.assert_allclose(
-        np.asarray(ref.grad_coef), np.asarray(fused.grad_coef), atol=1e-5
+        np.asarray(ref.grad_coef), np.asarray(fused.grad_coef), atol=5e-5
     )
     np.testing.assert_allclose(
-        np.asarray(ref.div_coef), np.asarray(fused.div_coef), atol=1e-5
+        np.asarray(ref.div_coef), np.asarray(fused.div_coef), atol=5e-5
     )
