@@ -24,8 +24,9 @@ import jax.numpy as jnp
 from ..geometry.grad_div import GradDiv
 from ..geometry.operators import I_J, J, curl, norm
 from .mlp import MLP, VectorMLP
+from .nonlin import leaky_relu02
 
-__all__ = ["DeltaConv", "gather_neighbors"]
+__all__ = ["DeltaConv", "EdgeMaxMLP", "gather_neighbors"]
 
 
 def gather_neighbors(x, nbr_idx):
@@ -86,6 +87,118 @@ def _aggregate(h, nbr_mask, aggr: str):
     raise ValueError(f"unknown aggregation '{aggr}'")
 
 
+class _RawBN(lnn.Module):
+    """BatchNorm parameters/stats with flax's exact variable layout
+    (scale/bias params, mean/var batch_stats) but a COMMUTED forward:
+    it receives the per-point max and min of the pre-normalization
+    edge values plus externally computed batch statistics, selects the
+    extreme that survives the monotone affine+LeakyReLU per channel,
+    and applies normalization to that single value per point."""
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @lnn.compact
+    def __call__(self, hmax, hmin, batch_mean, batch_var,
+                 train: bool = False):
+        c = hmax.shape[-1]
+        scale = self.param("scale", lnn.initializers.ones, (c,))
+        bias = self.param("bias", lnn.initializers.zeros, (c,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda *_: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda *_: jnp.ones((c,), jnp.float32))
+        if train:
+            mean, var = batch_mean, batch_var
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        hsel = jnp.where(inv >= 0, hmax, hmin)
+        return leaky_relu02((hsel - mean) * inv + bias)
+
+
+class _RawBNHolder(lnn.Module):
+    """Name-level shim so the commuted BN's variables live at
+    ``bn0/BatchNorm_0/...`` exactly like MLP's BatchNorm wrapper."""
+
+    @lnn.compact
+    def __call__(self, *args, **kwargs):
+        return _RawBN(name="BatchNorm_0")(*args, **kwargs)
+
+
+class EdgeMaxMLP(lnn.Module):
+    """Centralized scalar branch WITHOUT the edge tensor.
+
+    The reference computes ``max_k MLP(x_j - x_i)`` over a
+    ``[B, N, K, C]`` edge tensor (deltaconv.py:50-54). For a depth-1
+    MLP (bias-free Dense -> BatchNorm -> LeakyReLU) the aggregation
+    commutes: Dense is linear, so the edge value is ``y_j - y_i`` with
+    ``y = Dense(x)`` computed ONCE per point, and BatchNorm+LeakyReLU
+    is a per-channel monotone map — increasing where the effective
+    scale ``gamma/sigma >= 0`` (take ``max_k y_j``), decreasing where
+    it is negative (take ``min_k y_j``). Train-mode BatchNorm
+    statistics over the edge population come from neighbor SUMS of
+    ``[y, y^2]`` (ops/gather_sum.py):
+
+      sum_e (y_j - y_i)   = sum_n s1_n - cnt_n y_n
+      sum_e (y_j - y_i)^2 = sum_n s2_n - 2 y_n s1_n + cnt_n y_n^2
+
+    Everything is exact up to float reassociation; gradients route
+    through the single-winner max/min VJPs exactly like the edge path.
+    The parameter tree (lin0/kernel, bn0/BatchNorm_0/{scale,bias} +
+    batch_stats {mean,var}) is IDENTICAL to ``MLP([C])``, so
+    checkpoints and the torch importer are path-compatible.
+    """
+
+    out_channels: int
+
+    @lnn.compact
+    def __call__(self, x, nbr_idx, nbr_mask, train: bool = False,
+                 stats_mask=None):
+        """``stats_mask``: edge validity for BatchNorm statistics
+        (None reproduces the reference's mask-free BN, which includes
+        padded edges pointing at index 0)."""
+        from ..ops.gather_max import gather_minmax
+        from ..ops.gather_sum import gather_sum
+
+        unbatched = x.ndim == 2
+        if unbatched:
+            x, nbr_idx, nbr_mask = x[None], nbr_idx[None], nbr_mask[None]
+            if stats_mask is not None:
+                stats_mask = stats_mask[None]
+
+        y = lnn.Dense(self.out_channels, use_bias=False, name="lin0")(x)
+        y = y.astype(jnp.float32)
+        mx, mn = gather_minmax(y, nbr_idx, nbr_mask)
+        hmax = mx - y
+        hmin = mn - y
+
+        mean = var = None
+        if train:
+            k = nbr_idx.shape[-1]
+            smask = (jnp.ones(nbr_idx.shape, bool)
+                     if stats_mask is None else stats_mask)
+            s = gather_sum(jnp.concatenate([y, y * y], axis=-1),
+                           nbr_idx, smask)
+            c = self.out_channels
+            s1, s2 = s[..., :c], s[..., c:]
+            cnt = jnp.sum(smask, axis=-1).astype(jnp.float32)[..., None]
+            e_total = jnp.maximum(jnp.sum(cnt), 1.0)
+            sum_h = jnp.sum(s1 - cnt * y, axis=(0, 1))
+            sum_h2 = jnp.sum(s2 - 2.0 * y * s1 + cnt * y * y, axis=(0, 1))
+            mean = sum_h / e_total
+            var = jnp.maximum(sum_h2 / e_total - mean * mean, 0.0)
+
+        out = _RawBNHolder(name="bn0")(hmax, hmin, mean, var, train)
+        any_valid = jnp.any(nbr_mask, axis=-1)[..., None]
+        out = jnp.where(any_valid, out, 0.0)
+        return out[0] if unbatched else out
+
+
 class DeltaConv(lnn.Module):
     """One DeltaConv block.
 
@@ -103,6 +216,9 @@ class DeltaConv(lnn.Module):
     centralized: bool = False
     vector: bool = True
     aggr: str = "max"
+    # Edge-tensor-free centralized branch (EdgeMaxMLP); exact up to
+    # float reassociation. Off-switch exists for A/B testing only.
+    fast_centralized: bool = True
 
     @lnn.compact
     def __call__(self, x, v, gd: GradDiv, train: bool = False,
@@ -116,11 +232,17 @@ class DeltaConv(lnn.Module):
 
         # Scalar -> scalar aggregation branch.
         if self.centralized:
-            x_j = gather_neighbors(x, gd.nbr_idx)  # [..., N, K, C]
-            edge = x_j - x[..., :, None, :]
-            h = MLP(channels, name="s_mlp_max")(edge, train=train,
-                                                mask=edge_mask)
-            x_max = _aggregate(h, gd.nbr_mask, self.aggr)
+            if (self.fast_centralized and self.depth == 1
+                    and self.aggr == "max"):
+                x_max = EdgeMaxMLP(self.out_channels, name="s_mlp_max")(
+                    x, gd.nbr_idx, gd.nbr_mask, train=train,
+                    stats_mask=edge_mask)
+            else:
+                x_j = gather_neighbors(x, gd.nbr_idx)  # [..., N, K, C]
+                edge = x_j - x[..., :, None, :]
+                h = MLP(channels, name="s_mlp_max")(edge, train=train,
+                                                    mask=edge_mask)
+                x_max = _aggregate(h, gd.nbr_mask, self.aggr)
         else:
             h = MLP(channels, name="s_mlp_max")(x, train=train,
                                                 mask=point_mask)

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["gather_max"]
+__all__ = ["gather_max", "gather_minmax", "masked_nbr_max"]
 
 _NEG = -3.0e38  # ~ -inf in f32, safe to negate/compare
 
@@ -41,6 +41,42 @@ def _pad_to(x, multiple, axis, value=0):
 
 
 # -- forward kernel ------------------------------------------------------
+
+
+def _minmax_kernel(idx_ref, mask_ref, hilo_ref, mx_ref, mn_ref,
+                   wmx_ref, wmn_ref, *, k, n):
+    """Same one-hot matmul as ``_fwd_kernel`` but tracks BOTH the max
+    and the min (plus winners) in one pass — the centralized DeltaConv
+    fast path needs both extremes (negative BatchNorm scales flip the
+    monotone nonlinearity, see nn/deltaconv.py)."""
+    t = idx_ref.shape[1]
+    c = hilo_ref.shape[2]
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (t, 2 * n), 1) % n
+    ones = [
+        (idx_ref[0, :, kk][:, None] == col_iota).astype(jnp.bfloat16)
+        for kk in range(k)
+    ]
+    onehot = jnp.concatenate(ones, axis=0)
+    val = jnp.dot(onehot, hilo_ref[0], preferred_element_type=jnp.float32)
+    best = jnp.full((t, c), _NEG, jnp.float32)
+    worst = jnp.full((t, c), -_NEG, jnp.float32)
+    wbest = jnp.zeros((t, c), jnp.int32)
+    wworst = jnp.zeros((t, c), jnp.int32)
+    for kk in range(k):
+        vk = val[kk * t:(kk + 1) * t, :]
+        ok = mask_ref[0, :, kk][:, None] > 0
+        vmax = jnp.where(ok, vk, _NEG)
+        vmin = jnp.where(ok, vk, -_NEG)
+        up = vmax > best
+        wbest = jnp.where(up, kk, wbest)
+        best = jnp.where(up, vmax, best)
+        dn = vmin < worst
+        wworst = jnp.where(dn, kk, wworst)
+        worst = jnp.where(dn, vmin, worst)
+    mx_ref[0] = best
+    mn_ref[0] = worst
+    wmx_ref[0] = wbest
+    wmn_ref[0] = wworst
 
 
 def _fwd_kernel(idx_ref, mask_ref, hilo_ref, out_ref, win_ref,
@@ -228,6 +264,94 @@ def _gather_max_bwd(res, g):
 
 
 gather_max.defvjp(_gather_max_fwd, _gather_max_bwd)
+
+
+def _pallas_minmax(h, idx, mask, tile=128, interpret=False):
+    b, n, c = h.shape
+    k = idx.shape[-1]
+    idx_p = _pad_to(idx.astype(jnp.int32), tile, 1)
+    mask_p = _pad_to(mask.astype(jnp.int32), tile, 1)
+    n_pad = idx_p.shape[1]
+
+    hf = h.astype(jnp.float32)
+    hi = jax.lax.optimization_barrier(hf.astype(jnp.bfloat16))
+    lo = (hf - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    hilo = jnp.concatenate([hi, lo], axis=1)
+
+    spec_t = pl.BlockSpec((1, tile, k), lambda ib, it: (ib, it, 0),
+                          memory_space=pltpu.VMEM)
+    spec_o = pl.BlockSpec((1, tile, c), lambda ib, it: (ib, it, 0),
+                          memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_minmax_kernel, k=k, n=n),
+        grid=(b, n_pad // tile),
+        in_specs=[spec_t, spec_t,
+                  pl.BlockSpec((1, 2 * n, c), lambda ib, it: (ib, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[spec_o, spec_o, spec_o, spec_o],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n_pad, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_pad, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_pad, c), jnp.int32),
+            jax.ShapeDtypeStruct((b, n_pad, c), jnp.int32),
+        ],
+        interpret=interpret,
+    )(idx_p, mask_p, hilo)
+    return tuple(o[:, :n] for o in outs)
+
+
+def _reference_minmax(h, idx, mask):
+    gathered = jax.vmap(lambda a, i: a[i])(h, idx).astype(jnp.float32)
+    mx = jnp.where(mask[..., None], gathered, _NEG)
+    mn = jnp.where(mask[..., None], gathered, -_NEG)
+    return (jnp.max(mx, axis=-2), jnp.min(mn, axis=-2),
+            jnp.argmax(mx, axis=-2).astype(jnp.int32),
+            jnp.argmin(mn, axis=-2).astype(jnp.int32))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def gather_minmax(h, idx, mask, interpret=False):
+    """``[B, N, C], [B, N, K], [B, N, K] -> (max, min)`` over valid
+    neighbors in ONE fused pass, single-winner gradients for each.
+    Rows with no valid neighbor return ``(-3e38, 3e38)``."""
+    out = _minmax_fwd_dispatch(h, idx, mask, interpret)
+    return out[0], out[1]
+
+
+def _minmax_fwd_dispatch(h, idx, mask, interpret):
+    if jax.default_backend() == "tpu" or interpret:
+        return _pallas_minmax(h, idx, mask, interpret=interpret)
+    return _reference_minmax(h, idx, mask)
+
+
+def _gather_minmax_fwd(h, idx, mask, interpret):
+    mx, mn, wmx, wmn = _minmax_fwd_dispatch(h, idx, mask, interpret)
+    res = (_win_to_idx(idx, wmx), _win_to_idx(idx, wmn), h.shape[1],
+           jnp.zeros((0,), h.dtype))
+    return (mx, mn), res
+
+
+def _gather_minmax_bwd(interpret, res, cts):
+    wmax_idx, wmin_idx, n_out, dtype_carrier = res
+    gmx, gmn = cts
+    dh = _route_cotangent(wmax_idx, gmx.astype(jnp.float32), n_out,
+                          interpret)
+    dh = dh + _route_cotangent(wmin_idx, gmn.astype(jnp.float32), n_out,
+                               interpret)
+    return dh.astype(dtype_carrier.dtype), None, None
+
+
+def _route_cotangent(win_idx, g, n_out, interpret=False):
+    if jax.default_backend() == "tpu" and not interpret:
+        return _pallas_bwd(win_idx, g, n_out)
+    b, n, c = g.shape
+    dh = jnp.zeros((b, n_out, c), jnp.float32)
+    bidx = jnp.arange(b)[:, None, None]
+    cidx = jnp.arange(c)[None, None, :]
+    return dh.at[bidx, win_idx, cidx].add(g)
+
+
+gather_minmax.defvjp(_gather_minmax_fwd, _gather_minmax_bwd)
 
 
 def masked_nbr_max(h, nbr_idx, nbr_mask):

@@ -56,6 +56,66 @@ def test_deltaconv_shapes(rng):
     np.testing.assert_allclose(np.asarray(v_out), np.asarray(v))
 
 
+def test_centralized_fast_path_matches_edge_path(rng):
+    """EdgeMaxMLP (edge-tensor-free centralized branch) must equal the
+    reference edge-tensor path — same parameter tree, same outputs,
+    same gradients, same updated BatchNorm statistics — in train and
+    eval mode, with and without a point mask."""
+    n, c_out = 200, 16
+    pos, _, _, _, nbr_idx, nbr_mask, gd = _setup(rng, n, k=12)
+    v = gd.grad(pos)
+
+    fast = DeltaConv(out_channels=c_out, depth=1, centralized=True,
+                     fast_centralized=True)
+    slow = DeltaConv(out_channels=c_out, depth=1, centralized=True,
+                     fast_centralized=False)
+    variables = jax.jit(
+        lambda p, vv, g: slow.init(jax.random.PRNGKey(0), p, vv, g,
+                                   train=False)
+    )(pos, v, gd)
+
+    point_mask = np.ones(n, bool)
+    point_mask[n - 20:] = False
+    point_mask = jnp.asarray(point_mask)
+
+    for train in (False, True):
+        for pmask in (None, point_mask):
+            def run(model):
+                (x_out, _), mut = jax.jit(
+                    lambda va, p, vv, g: model.apply(
+                        va, p, vv, g, train=train, point_mask=pmask,
+                        mutable=["batch_stats"])
+                )(variables, pos, v, gd)
+                return x_out, mut["batch_stats"]
+
+            xf, bsf = run(fast)
+            xs, bss = run(slow)
+            np.testing.assert_allclose(np.asarray(xf), np.asarray(xs),
+                                       atol=2e-5,
+                                       err_msg=f"train={train} "
+                                               f"mask={pmask is not None}")
+            for lf, ls in zip(jax.tree_util.tree_leaves(bsf),
+                              jax.tree_util.tree_leaves(bss)):
+                np.testing.assert_allclose(np.asarray(lf), np.asarray(ls),
+                                           atol=2e-5)
+
+    # Gradients (train mode, the full stats chain).
+    target = jnp.asarray(rng.random((n, c_out)).astype(np.float32))
+
+    def loss_fn(model, params):
+        (out, _), _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            pos, v, gd, train=True, mutable=["batch_stats"])
+        return jnp.mean((out - target) ** 2)
+
+    gf = jax.jit(jax.grad(lambda p: loss_fn(fast, p)))(variables["params"])
+    gs = jax.jit(jax.grad(lambda p: loss_fn(slow, p)))(variables["params"])
+    for lf, ls in zip(jax.tree_util.tree_leaves(gf),
+                      jax.tree_util.tree_leaves(gs)):
+        np.testing.assert_allclose(np.asarray(lf), np.asarray(ls),
+                                   atol=1e-4, rtol=1e-4)
+
+
 def test_deltaconv_coordinate_independence(rng):
     """Identical forward outputs AND parameter gradients under randomly
     rotated tangent bases (reference test_deltaconv.py:42-74)."""
