@@ -50,14 +50,16 @@ def _minmax_kernel(idx_ref, mask_ref, hilo_ref, mx_ref, mn_ref,
     fast path needs both extremes (negative BatchNorm scales flip the
     monotone nonlinearity, see nn/deltaconv.py)."""
     t = idx_ref.shape[1]
-    c = hilo_ref.shape[2]
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (t, 2 * n), 1) % n
+    c = hilo_ref.shape[2] // 2
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (t, n), 1)
     ones = [
         (idx_ref[0, :, kk][:, None] == col_iota).astype(jnp.bfloat16)
         for kk in range(k)
     ]
     onehot = jnp.concatenate(ones, axis=0)
-    val = jnp.dot(onehot, hilo_ref[0], preferred_element_type=jnp.float32)
+    both = jnp.dot(onehot, hilo_ref[0],
+                   preferred_element_type=jnp.float32)  # [K*T, 2C]
+    val = both[:, :c] + both[:, c:]
     best = jnp.full((t, c), _NEG, jnp.float32)
     worst = jnp.full((t, c), -_NEG, jnp.float32)
     wbest = jnp.zeros((t, c), jnp.int32)
@@ -81,28 +83,29 @@ def _minmax_kernel(idx_ref, mask_ref, hilo_ref, mx_ref, mn_ref,
 
 def _fwd_kernel(idx_ref, mask_ref, hilo_ref, out_ref, win_ref,
                 *, k, n):
-    """One k-major one-hot [K*T, 2N] feeding ONE bf16 MXU pass.
+    """One k-major one-hot [K*T, N] feeding ONE bf16 MXU pass.
 
     The feature table is pre-split h = hi + lo with hi = bf16(h),
-    lo = bf16(h - hi), stacked on the CONTRACTION axis as [2N, C];
-    the one-hot selects row m and row N+m (built with an iota mod N),
-    so a single dot reconstructs the gather exactly in the f32
-    accumulator (~1e-6 relative vs 2e-3 for a single bf16 pass).
-    Two separate dot(onehot, hi) + dot(onehot, lo) passes are NOT
-    safe: Mosaic algebraically rewrites them into dot(onehot, hi+lo)
-    with the add in bf16, silently dropping the lo term (observed at
-    C >= 128).
+    lo = bf16(h - hi), packed on the LANE axis as [N, 2C]; one-hot
+    entries are exact in bf16, so summing the two column halves of the
+    f32-accumulated product reconstructs the gather exactly (~1e-6
+    relative vs 2e-3 for a single bf16 pass). The split MUST be
+    guarded by lax.optimization_barrier at the caller: XLA's
+    excess-precision pass cancels f32(bf16(h)) -> h and folds lo to
+    zero otherwise.
     """
     t = idx_ref.shape[1]
-    c = hilo_ref.shape[2]
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (t, 2 * n), 1) % n
+    c = hilo_ref.shape[2] // 2
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (t, n), 1)
 
     ones = [
         (idx_ref[0, :, kk][:, None] == col_iota).astype(jnp.bfloat16)
         for kk in range(k)
     ]
-    onehot = jnp.concatenate(ones, axis=0)  # [K*T, 2N], k-major rows
-    val = jnp.dot(onehot, hilo_ref[0], preferred_element_type=jnp.float32)
+    onehot = jnp.concatenate(ones, axis=0)  # [K*T, N], k-major rows
+    both = jnp.dot(onehot, hilo_ref[0],
+                   preferred_element_type=jnp.float32)  # [K*T, 2C]
+    val = both[:, :c] + both[:, c:]
     # Static unrolled max/argmax over the K row-blocks (Mosaic handles
     # sliced sublane reads better than leading-axis reductions).
     best = jnp.full((t, c), _NEG, jnp.float32)
@@ -132,7 +135,7 @@ def _pallas_fwd(h, idx, mask, tile=128, interpret=False):
     # error at C >= 128 while eager stayed exact).
     hi = jax.lax.optimization_barrier(hi)
     lo = (hf - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    hilo = jnp.concatenate([hi, lo], axis=1)  # [B, 2N, C]
+    hilo = jnp.concatenate([hi, lo], axis=-1)  # [B, N, 2C]
 
     grid = (b, n_pad // tile)
     out, winner = pl.pallas_call(
@@ -143,7 +146,7 @@ def _pallas_fwd(h, idx, mask, tile=128, interpret=False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile, k), lambda ib, it: (ib, it, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * n, c), lambda ib, it: (ib, 0, 0),
+            pl.BlockSpec((1, n, 2 * c), lambda ib, it: (ib, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -276,7 +279,7 @@ def _pallas_minmax(h, idx, mask, tile=128, interpret=False):
     hf = h.astype(jnp.float32)
     hi = jax.lax.optimization_barrier(hf.astype(jnp.bfloat16))
     lo = (hf - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    hilo = jnp.concatenate([hi, lo], axis=1)
+    hilo = jnp.concatenate([hi, lo], axis=-1)  # [B, N, 2C]
 
     spec_t = pl.BlockSpec((1, tile, k), lambda ib, it: (ib, it, 0),
                           memory_space=pltpu.VMEM)
@@ -286,7 +289,7 @@ def _pallas_minmax(h, idx, mask, tile=128, interpret=False):
         functools.partial(_minmax_kernel, k=k, n=n),
         grid=(b, n_pad // tile),
         in_specs=[spec_t, spec_t,
-                  pl.BlockSpec((1, 2 * n, c), lambda ib, it: (ib, 0, 0),
+                  pl.BlockSpec((1, n, 2 * c), lambda ib, it: (ib, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=[spec_o, spec_o, spec_o, spec_o],
         out_shape=[
