@@ -83,7 +83,8 @@ def _dense_from_coef(nbr_idx, coef, n, dtype):
     )
 
 
-def densify(gd: GradDiv, dtype: Optional[jnp.dtype] = None) -> DenseGradDiv:
+def densify(gd: GradDiv, dtype: Optional[jnp.dtype] = None,
+            interpret: bool = False) -> DenseGradDiv:
     """Materializes a :class:`GradDiv` into its dense MXU form.
 
     Args:
@@ -91,10 +92,37 @@ def densify(gd: GradDiv, dtype: Optional[jnp.dtype] = None) -> DenseGradDiv:
       dtype: storage dtype of the dense matrices (default float32;
         pass ``jnp.bfloat16`` on TPU for 2x less matmul traffic —
         accumulation stays f32).
+      interpret: run the Pallas assembly kernel in interpret mode
+        (CPU testing).
     """
     dtype = dtype or jnp.float32
     n = gd.nbr_idx.shape[-2]
     lead = gd.nbr_idx.shape[:-2]
+
+    # Pallas assembly (ops/densify_op.py) builds rows in VMEM instead
+    # of the XLA einsum's [B, N, K, N] one-hot in HBM. Measured on
+    # v5e: the einsum fuses better inside the full forward at small N
+    # (~1513 vs ~1476 clouds/s at N=1024), the kernel wins once the
+    # one-hot traffic dominates (4.8 vs 5.7 ms at N=2048) — so the
+    # kernel is the large-N path.
+    use_pallas = ((jax.default_backend() == "tpu" and n >= 2048)
+                  or interpret)
+    if use_pallas and len(lead) <= 1:
+        from ..ops.densify_op import densify_coefs
+
+        unbatched = not lead
+        idx = gd.nbr_idx[None] if unbatched else gd.nbr_idx
+        gc = gd.grad_coef[None] if unbatched else gd.grad_coef
+        dc = gd.div_coef[None] if unbatched else gd.div_coef
+        wg, wd = densify_coefs(idx, gc, dc, jnp.dtype(dtype).name,
+                               128 if n <= 2048 else 64, interpret)
+        b = wg.shape[0]
+        w_grad = wg.reshape(b, 2 * n, n)
+        w_div = wd.reshape(b, n, 2 * n)
+        if unbatched:
+            w_grad, w_div = w_grad[0], w_div[0]
+        return DenseGradDiv(nbr_idx=gd.nbr_idx, nbr_mask=gd.nbr_mask,
+                            w_grad=w_grad, w_div=w_div)
 
     wg = _dense_from_coef(gd.nbr_idx, gd.grad_coef, n, dtype)
     w_grad = wg.reshape(*lead, 2 * n, n).astype(dtype)

@@ -91,6 +91,64 @@ def test_gather_max_pallas_exact_under_jit(rng, c):
     np.testing.assert_allclose(np.asarray(out), want, atol=1e-5)
 
 
+def test_densify_pallas_matches_xla(rng):
+    """Interpret-mode Pallas dense assembly == the XLA one-hot einsum
+    (values AND gradients w.r.t. the coefficients)."""
+    from deltaconv_tpu.geometry import dense as D
+    from deltaconv_tpu.geometry.grad_div import GradDiv
+
+    b, n, k = 2, 96, 8
+    idx = jnp.asarray(rng.integers(0, n, (b, n, k)).astype(np.int32))
+    mask = jnp.ones((b, n, k), bool)
+    gc = jnp.asarray(rng.standard_normal((b, n, k, 2)).astype(np.float32))
+    dc = jnp.asarray(rng.standard_normal((b, n, k, 2)).astype(np.float32))
+    gd = GradDiv(nbr_idx=idx, nbr_mask=mask, grad_coef=gc, div_coef=dc)
+
+    ref = D.densify(gd)  # XLA path on CPU
+    fast = D.densify(gd, interpret=True)
+    np.testing.assert_allclose(np.asarray(fast.w_grad),
+                               np.asarray(ref.w_grad), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fast.w_div),
+                               np.asarray(ref.w_div), atol=1e-6)
+
+    def loss(gc, dc, interpret):
+        g = GradDiv(nbr_idx=idx, nbr_mask=mask, grad_coef=gc, div_coef=dc)
+        d = D.densify(g, interpret=interpret)
+        return jnp.sum(d.w_grad ** 2) + jnp.sum(jnp.sin(d.w_div))
+
+    g_ref = jax.grad(loss, argnums=(0, 1))(gc, dc, False)
+    g_fast = jax.grad(loss, argnums=(0, 1))(gc, dc, True)
+    for a, bb in zip(jax.tree_util.tree_leaves(g_fast),
+                     jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   atol=1e-5)
+
+
+@pytest.mark.skipif(not ON_TPU, reason="pallas kernels need a TPU")
+def test_densify_pallas_matches_numpy_tpu(rng):
+    """Kernel output vs a NUMPY-assembled dense matrix (an on-TPU XLA
+    einsum reference would itself round through single-pass bf16)."""
+    from deltaconv_tpu.ops.densify_op import densify_coefs
+
+    b, n, k = 2, 256, 12
+    idx = jnp.asarray(rng.integers(0, n, (b, n, k)).astype(np.int32))
+    gc = jnp.asarray(rng.standard_normal((b, n, k, 2)).astype(np.float32))
+    dc = jnp.asarray(rng.standard_normal((b, n, k, 2)).astype(np.float32))
+
+    wg, wd = jax.jit(
+        lambda i, g, d: densify_coefs(i, g, d, "float32", 128)
+    )(idx, gc, dc)
+
+    want = np.zeros((b, 2, n, n), np.float32)
+    idxn, gcn = np.asarray(idx), np.asarray(gc)
+    for bi in range(b):
+        for ni in range(n):
+            for kk in range(k):
+                for d in range(2):
+                    want[bi, d, ni, idxn[bi, ni, kk]] += gcn[bi, ni, kk, d]
+    np.testing.assert_allclose(np.asarray(wg), want, atol=1e-5)
+
+
 @pytest.mark.skipif(not ON_TPU, reason="pallas kernels need a TPU")
 @pytest.mark.parametrize("c", [64, 256])
 def test_gather_max_pallas_exact_under_jit_tpu(rng, c):
