@@ -50,6 +50,27 @@ def knn(pos, k: int, point_mask=None, method: str = "exact"):
     """
     n = pos.shape[0]
     sq = jnp.sum(pos * pos, axis=-1)
+
+    if point_mask is None and n >= k:
+        # Fast path: per-row top-k order is invariant to row-constant
+        # shifts, so drop the |xi|^2 term, keep the similarity POSITIVE
+        # (score = 2 xi.xj - |xj|^2 = |xi|^2 - d^2), and fold the
+        # self-loop pin into the same elementwise epilogue — ONE
+        # [N, N] materialization instead of four (negate/eye/mask
+        # passes are all HBM-bound at this size; measured 5.5 -> 3.4ms
+        # at B=32 N=1024 on v5e).
+        s = 2.0 * jnp.dot(
+            pos, pos.T, preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
+        ) - sq[None, :]
+        r = jnp.arange(n)
+        s = s + jnp.where(r[:, None] == r[None, :], 2.0 * _BIG, 0.0)
+        if method == "approx":
+            _, idx = lax.approx_max_k(s, k, recall_target=0.95)
+        else:
+            _, idx = lax.top_k(s, k)
+        return idx.astype(jnp.int32), jnp.ones(idx.shape, bool)
+
     # ||xi - xj||^2 = |xi|^2 + |xj|^2 - 2 xi.xj ; the cross term is a matmul.
     # HIGHEST precision: neighbor *ordering* must not be perturbed by the
     # MXU's default bf16 passes.
