@@ -41,14 +41,16 @@ def _pad_to(x, multiple, axis):
 
 def _fwd_kernel(idx_ref, hilo_ref, out_ref, *, k, n):
     t = idx_ref.shape[1]
-    c = hilo_ref.shape[2]
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (t, 2 * n), 1) % n
+    c = hilo_ref.shape[2] // 2
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (t, n), 1)
     ones = [
         (idx_ref[0, :, kk][:, None] == col_iota).astype(jnp.bfloat16)
         for kk in range(k)
     ]
-    onehot = jnp.concatenate(ones, axis=0)  # [K*T, 2N]
-    val = jnp.dot(onehot, hilo_ref[0], preferred_element_type=jnp.float32)
+    onehot = jnp.concatenate(ones, axis=0)  # [K*T, N]
+    both = jnp.dot(onehot, hilo_ref[0],
+                   preferred_element_type=jnp.float32)  # [K*T, 2C]
+    val = both[:, :c] + both[:, c:]
     out_ref[0] = val.reshape(k, t, c)
 
 
@@ -79,24 +81,29 @@ def _bwd_kernel(idx_ref, g_ref, dt_ref, *, k, n):
     dt_ref[0] += acc
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def gather_rows(table, idx, tile=128, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def gather_rows(table, idx, tile=128, interpret=False, pad_cols=False):
     """``table [B, N, C], idx [B, N, K] -> [B, K, N, C]`` exact gather
     (``out[b, kk, i] = table[b, idx[b, i, kk]]``), differentiable in
-    ``table``."""
-    return _fwd(table, idx, tile, interpret)
+    ``table``. With ``pad_cols=True`` the output keeps C padded up to
+    a multiple of 8 (zero columns) — avoids a full-tensor slice copy
+    when the caller indexes components individually."""
+    return _fwd(table, idx, tile, interpret, pad_cols)
 
 
-def _fwd(table, idx, tile, interpret):
-    b, n, c = table.shape
+def _fwd(table, idx, tile, interpret, pad_cols=False):
+    b, n, c_in = table.shape
     k = idx.shape[-1]
     idx_p = _pad_to(idx.astype(jnp.int32), tile, 1)
     n_pad = idx_p.shape[1]
 
-    tf = table.astype(jnp.float32)
+    # Pad the (tiny) column count to a multiple of 8 so the hi/lo
+    # lane-halves split on a sublane-friendly boundary.
+    c = c_in + ((-c_in) % 8)
+    tf = _pad_to(table.astype(jnp.float32), 8, 2)
     hi = jax.lax.optimization_barrier(tf.astype(jnp.bfloat16))
     lo = (tf - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    hilo = jnp.concatenate([hi, lo], axis=1)  # [B, 2N, C]
+    hilo = jnp.concatenate([hi, lo], axis=-1)  # [B, N, 2C]
 
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, k=k, n=n),
@@ -104,7 +111,7 @@ def _fwd(table, idx, tile, interpret):
         in_specs=[
             pl.BlockSpec((1, tile, k), lambda ib, it: (ib, it, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * n, c), lambda ib, it: (ib, 0, 0),
+            pl.BlockSpec((1, n, 2 * c), lambda ib, it: (ib, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, k, tile, c), lambda ib, it: (ib, 0, it, 0),
@@ -112,17 +119,22 @@ def _fwd(table, idx, tile, interpret):
         out_shape=jax.ShapeDtypeStruct((b, k, n_pad, c), jnp.float32),
         interpret=interpret,
     )(idx_p, hilo)
-    return out[:, :, :n]
+    # Keep the padded columns: slicing them off here would force a
+    # copy of the whole [B, K, N, C] block; callers index components
+    # individually after their own transpose anyway.
+    out = out[:, :, :n]
+    return out if pad_cols else out[..., :c_in]
 
 
-def _gather_rows_fwd(table, idx, tile, interpret):
-    return _fwd(table, idx, tile, interpret), (idx, table.shape,
-                                               jnp.zeros((0,), table.dtype))
+def _gather_rows_fwd(table, idx, tile, interpret, pad_cols):
+    return _fwd(table, idx, tile, interpret, pad_cols), (
+        idx, table.shape, jnp.zeros((0,), table.dtype))
 
 
-def _gather_rows_bwd(tile, interpret, res, g):
+def _gather_rows_bwd(tile, interpret, pad_cols, res, g):
     idx, tshape, dtype_carrier = res
-    b, n, c = tshape
+    b, n, c_in = tshape
+    c = g.shape[-1]
     k = idx.shape[-1]
     idx_p = _pad_to(idx.astype(jnp.int32), tile, 1)
     n_pad = idx_p.shape[1]
@@ -142,7 +154,7 @@ def _gather_rows_bwd(tile, interpret, res, g):
         out_shape=jax.ShapeDtypeStruct((b, n, c), jnp.float32),
         interpret=interpret,
     )(idx_p, g_p)
-    return dt.astype(dtype_carrier.dtype), None
+    return dt[..., :c_in].astype(dtype_carrier.dtype), None
 
 
 gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
