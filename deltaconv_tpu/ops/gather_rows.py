@@ -69,7 +69,10 @@ def _bwd_kernel(idx_ref, g_ref, dt_ref, *, k, n):
     gf = g.reshape(k * t, g.shape[-1])
     # Exact transposed matmul: split the f32 cotangent hi/lo so the
     # bf16 MXU pass loses nothing (one-hot entries are exact in bf16).
-    ghi = jax.lax.optimization_barrier(gf.astype(jnp.bfloat16))
+    # No optimization_barrier here — Mosaic cannot lower it, and
+    # (unlike XLA, see _fwd) does not cancel f32(bf16(x)) -> x; the
+    # TPU gradient test pins this.
+    ghi = gf.astype(jnp.bfloat16)
     glo = (gf - ghi.astype(jnp.float32)).astype(jnp.bfloat16)
     acc = jnp.dot(onehot.T, ghi, preferred_element_type=jnp.float32)
     acc = acc + jnp.dot(onehot.T, glo, preferred_element_type=jnp.float32)

@@ -150,6 +150,52 @@ def test_densify_pallas_matches_numpy_tpu(rng):
 
 
 @pytest.mark.skipif(not ON_TPU, reason="pallas kernels need a TPU")
+def test_gather_backwards_exact_on_tpu(rng):
+    """The Pallas VJP kernels (gather_rows/gather_sum transposed
+    matmuls) must deliver exact f32 cotangents on real TPU: their
+    in-kernel hi/lo splits have NO optimization_barrier (Mosaic cannot
+    lower it), relying on Mosaic not performing XLA's
+    excess-precision cancellation. Compares against numpy."""
+    from deltaconv_tpu.ops.gather_rows import gather_rows
+    from deltaconv_tpu.ops.gather_sum import gather_sum
+
+    b, n, k, c = 2, 256, 10, 16
+    table = jnp.asarray(rng.random((b, n, c)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, n, (b, n, k)).astype(np.int32))
+    mask = jnp.ones((b, n, k), bool)
+    ct = jnp.asarray(rng.random((b, k, n, c)).astype(np.float32))
+
+    def loss_rows(t):
+        return jnp.sum(gather_rows(t, idx) * ct)
+
+    g = np.asarray(jax.jit(jax.grad(loss_rows))(table))
+    want = np.zeros((b, n, c), np.float32)
+    idxn, ctn = np.asarray(idx), np.asarray(ct, np.float64)
+    acc = np.zeros((b, n, c), np.float64)
+    for bi in range(b):
+        for ni in range(n):
+            for kk in range(k):
+                acc[bi, idxn[bi, ni, kk]] += ctn[bi, kk, ni]
+    want = acc.astype(np.float32)
+    np.testing.assert_allclose(g, want, atol=1e-4, rtol=1e-5)
+
+    ct2 = jnp.asarray(rng.random((b, n, c)).astype(np.float32))
+
+    def loss_sum(t):
+        return jnp.sum(gather_sum(t, idx, mask) * ct2)
+
+    g2 = np.asarray(jax.jit(jax.grad(loss_sum))(table))
+    acc2 = np.zeros((b, n, c), np.float64)
+    ct2n = np.asarray(ct2, np.float64)
+    for bi in range(b):
+        for ni in range(n):
+            for kk in range(k):
+                acc2[bi, idxn[bi, ni, kk]] += ct2n[bi, ni]
+    np.testing.assert_allclose(g2, acc2.astype(np.float32),
+                               atol=1e-4, rtol=1e-5)
+
+
+@pytest.mark.skipif(not ON_TPU, reason="pallas kernels need a TPU")
 @pytest.mark.parametrize("c", [64, 256])
 def test_gather_max_pallas_exact_under_jit_tpu(rng, c):
     from deltaconv_tpu.ops.gather_max import _pallas_fwd
