@@ -167,43 +167,78 @@ def _pallas_fwd(h, idx, mask, tile=128, interpret=False):
 # -- backward kernel -----------------------------------------------------
 
 
-def _bwd_kernel(win_idx_ref, g_ref, dh_ref, *, tile):
-    """dh[m, c] = sum_n g[n, c] * [win_idx[n, c] == m] for m in this
-    tile; the loop over output rows is a fori with an accumulating
-    VMEM write."""
-    m0 = pl.program_id(1) * tile
-    win = win_idx_ref[0]  # [N, C] int32
-    g = g_ref[0]  # [N, C] f32
+def _bwd_mm_kernel(idx_ref, win1_ref, g1_ref, win2_ref, g2_ref, dh_ref,
+                   *, k, n, two):
+    """Winner-routed scatter as ONE transposed one-hot matmul.
 
-    def body(r, _):
-        m = m0 + r
-        contrib = jnp.sum(
-            jnp.where(win == m, g, 0.0), axis=0, keepdims=True
-        )  # [1, C]
-        dh_ref[0, pl.ds(r, 1), :] = contrib
-        return 0
+    G[kk*T + t, :] = [win1[t] == kk] * g1[t] (+ the same for the
+    second winner map when ``two``), then dh += onehot^T @ [Ghi|Glo]
+    — the row-loop VPU version costs O(N^2 C) selects; this is MXU
+    work with the same one-hot the forward builds. Output keeps the
+    hi/lo column halves; the caller sums them (exact f32 routing)."""
+    t = idx_ref.shape[1]
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (t, n), 1)
+    ones = [
+        (idx_ref[0, :, kk][:, None] == col_iota).astype(jnp.bfloat16)
+        for kk in range(k)
+    ]
+    onehot = jnp.concatenate(ones, axis=0)  # [K*T, N]
 
-    jax.lax.fori_loop(0, tile, body, 0)
+    def masked(win_ref, g_ref_, kk):
+        return jnp.where(win_ref[0] == kk, g_ref_[0], 0.0)
+
+    rows = []
+    for kk in range(k):
+        gk = masked(win1_ref, g1_ref, kk)
+        if two:
+            gk = gk + masked(win2_ref, g2_ref, kk)
+        rows.append(gk)
+    g_all = jnp.concatenate(rows, axis=0)  # [K*T, C] f32
+    ghi = g_all.astype(jnp.bfloat16)
+    glo = (g_all - ghi.astype(jnp.float32)).astype(jnp.bfloat16)
+    gcat = jnp.concatenate([ghi, glo], axis=-1)  # [K*T, 2C]
+    acc = jax.lax.dot_general(
+        onehot, gcat, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [N, 2C]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        dh_ref[0] = jnp.zeros_like(dh_ref[0])
+
+    dh_ref[0] += acc
 
 
-def _pallas_bwd(win_idx, g, n_out, tile=128):
-    b, n, c = g.shape
-    n_pad = n_out + ((-n_out) % tile)
-    grid = (b, n_pad // tile)
-    dh = pl.pallas_call(
-        functools.partial(_bwd_kernel, tile=tile),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, n, c), lambda ib, it: (ib, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, c), lambda ib, it: (ib, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, tile, c), lambda ib, it: (ib, it, 0),
+def _pallas_bwd_mm(idx, winners_and_gs, n_out, tile=128):
+    """winners_and_gs: [(winner [B,N,C] int32 k-slots, g [B,N,C] f32)]
+    with one or two entries; returns dh [B, n_out, C] f32."""
+    b, n, c = winners_and_gs[0][1].shape
+    k = idx.shape[-1]
+    idx_p = _pad_to(idx.astype(jnp.int32), tile, 1)
+    n_pad = idx_p.shape[1]
+    two = len(winners_and_gs) == 2
+    args = [idx_p]
+    for w, g in winners_and_gs:
+        # Padded rows: winner slot 0 with g = 0 contributes nothing.
+        args.append(_pad_to(w.astype(jnp.int32), tile, 1))
+        args.append(_pad_to(g.astype(jnp.float32), tile, 1))
+    if not two:
+        args.append(args[1])  # dummy refs, ignored when two=False
+        args.append(args[2])
+
+    spec_idx = pl.BlockSpec((1, tile, k), lambda ib, it: (ib, it, 0),
+                            memory_space=pltpu.VMEM)
+    spec_nc = pl.BlockSpec((1, tile, c), lambda ib, it: (ib, it, 0),
+                           memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_bwd_mm_kernel, k=k, n=n_out, two=two),
+        grid=(b, n_pad // tile),
+        in_specs=[spec_idx, spec_nc, spec_nc, spec_nc, spec_nc],
+        out_specs=pl.BlockSpec((1, n_out, 2 * c), lambda ib, it: (ib, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n_pad, c), jnp.float32),
-    )(win_idx, g)
-    return dh[:, :n_out]
+        out_shape=jax.ShapeDtypeStruct((b, n_out, 2 * c), jnp.float32),
+    )(*args)
+    return out[..., :c] + out[..., c:]
 
 
 # -- reference (CPU / testing) path --------------------------------------
@@ -246,18 +281,20 @@ def _fwd(h, idx, mask):
 
 def _gather_max_fwd(h, idx, mask):
     out, winner = _fwd(h, idx, mask)
-    win_idx = _win_to_idx(idx, winner)
-    # Zero-size carrier keeps h's dtype in the residuals as a JAX type.
-    return out, (win_idx, h.shape[1], jnp.zeros((0,), h.dtype))
+    # Residuals keep the K-SLOT winner (not the resolved point index):
+    # the matmul backward routes by slot, and resolving indices cost a
+    # K-pass select over [B, N, C] per layer.
+    return out, (idx, winner, h.shape[1], jnp.zeros((0,), h.dtype))
 
 
 def _gather_max_bwd(res, g):
-    win_idx, n_out, dtype_carrier = res
+    idx, winner, n_out, dtype_carrier = res
     h_dtype = dtype_carrier.dtype
     g = g.astype(jnp.float32)
     if jax.default_backend() == "tpu":
-        dh = _pallas_bwd(win_idx, g, n_out)
+        dh = _pallas_bwd_mm(idx, [(winner, g)], n_out)
     else:
+        win_idx = _win_to_idx(idx, winner)
         b, n, c = g.shape
         dh = jnp.zeros((b, n_out, c), jnp.float32)
         bidx = jnp.arange(b)[:, None, None]
@@ -329,24 +366,25 @@ def _minmax_fwd_dispatch(h, idx, mask, interpret):
 
 def _gather_minmax_fwd(h, idx, mask, interpret):
     mx, mn, wmx, wmn = _minmax_fwd_dispatch(h, idx, mask, interpret)
-    res = (_win_to_idx(idx, wmx), _win_to_idx(idx, wmn), h.shape[1],
-           jnp.zeros((0,), h.dtype))
+    res = (idx, wmx, wmn, h.shape[1], jnp.zeros((0,), h.dtype))
     return (mx, mn), res
 
 
 def _gather_minmax_bwd(interpret, res, cts):
-    wmax_idx, wmin_idx, n_out, dtype_carrier = res
+    idx, wmx, wmn, n_out, dtype_carrier = res
     gmx, gmn = cts
-    dh = _route_cotangent(wmax_idx, gmx.astype(jnp.float32), n_out,
-                          interpret)
-    dh = dh + _route_cotangent(wmin_idx, gmn.astype(jnp.float32), n_out,
-                               interpret)
+    gmx = gmx.astype(jnp.float32)
+    gmn = gmn.astype(jnp.float32)
+    if jax.default_backend() == "tpu" and not interpret:
+        # Both winner maps route through ONE transposed matmul.
+        dh = _pallas_bwd_mm(idx, [(wmx, gmx), (wmn, gmn)], n_out)
+    else:
+        dh = _route_cotangent(_win_to_idx(idx, wmx), gmx, n_out)
+        dh = dh + _route_cotangent(_win_to_idx(idx, wmn), gmn, n_out)
     return dh.astype(dtype_carrier.dtype), None, None
 
 
-def _route_cotangent(win_idx, g, n_out, interpret=False):
-    if jax.default_backend() == "tpu" and not interpret:
-        return _pallas_bwd(win_idx, g, n_out)
+def _route_cotangent(win_idx, g, n_out):
     b, n, c = g.shape
     dh = jnp.zeros((b, n_out, c), jnp.float32)
     bidx = jnp.arange(b)[:, None, None]

@@ -194,6 +194,44 @@ def test_gather_backwards_exact_on_tpu(rng):
     np.testing.assert_allclose(g2, acc2.astype(np.float32),
                                atol=1e-4, rtol=1e-5)
 
+    # gather_max / gather_minmax backward: single-winner routing via
+    # the transposed one-hot matmul must match the numpy scatter.
+    from deltaconv_tpu.ops.gather_max import gather_max, gather_minmax
+
+    hn = np.asarray(table)
+    win = hn[np.arange(b)[:, None, None], idxn]  # [B, N, K, C]
+    wmax = win.argmax(axis=2)
+    wmin = win.argmin(axis=2)
+
+    def loss_max(t):
+        return jnp.sum(gather_max(t, idx, mask) * ct2)
+
+    gmx = np.asarray(jax.jit(jax.grad(loss_max))(table))
+    accm = np.zeros((b, n, c), np.float64)
+    for bi in range(b):
+        for ni in range(n):
+            for ci in range(c):
+                accm[bi, idxn[bi, ni, wmax[bi, ni, ci]], ci] += \
+                    ct2n[bi, ni, ci]
+    np.testing.assert_allclose(gmx, accm.astype(np.float32),
+                               atol=1e-4, rtol=1e-5)
+
+    def loss_minmax(t):
+        mx, mn = gather_minmax(t, idx, mask)
+        return jnp.sum(mx * ct2) - 2.0 * jnp.sum(mn * ct2)
+
+    gmm = np.asarray(jax.jit(jax.grad(loss_minmax))(table))
+    accmm = np.zeros((b, n, c), np.float64)
+    for bi in range(b):
+        for ni in range(n):
+            for ci in range(c):
+                accmm[bi, idxn[bi, ni, wmax[bi, ni, ci]], ci] += \
+                    ct2n[bi, ni, ci]
+                accmm[bi, idxn[bi, ni, wmin[bi, ni, ci]], ci] -= \
+                    2.0 * ct2n[bi, ni, ci]
+    np.testing.assert_allclose(gmm, accmm.astype(np.float32),
+                               atol=1e-4, rtol=1e-5)
+
 
 @pytest.mark.skipif(not ON_TPU, reason="pallas kernels need a TPU")
 @pytest.mark.parametrize("c", [64, 256])
