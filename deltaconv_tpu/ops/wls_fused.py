@@ -187,7 +187,45 @@ def _wls_vjp_fwd(edges, kernel_width, regularizer, tile, interpret=False):
     return out, edges
 
 
+def _bwd_kernel(edges_ref, ctg_ref, ctd_ref, de_ref, *, kernel_width,
+                regularizer, k):
+    """VJP of the WLS math per tile, in VMEM. Differentiating the
+    unrolled 6x6 Cholesky in XLA explodes into hundreds of small
+    HBM-bound kernels (~120 ms for the whole build's backward at
+    B=32, N=1024); tracing jax.vjp of the SAME _wls_math inside the
+    Pallas body keeps every intermediate in registers/VMEM."""
+    _, vjp = jax.vjp(
+        lambda e: _wls_math(e, kernel_width, regularizer), edges_ref[0]
+    )
+    (de,) = vjp((ctg_ref[0], ctd_ref[0]))
+    de_ref[0] = de
+
+
+def _wls_bwd_pallas(edges, cts, kernel_width, regularizer, tile,
+                    interpret):
+    b, _, k, n_pad = edges.shape
+    ctg, ctd = cts
+    spec_e = pl.BlockSpec((1, 12, k, tile), lambda ib, it: (ib, 0, 0, it),
+                          memory_space=pltpu.VMEM)
+    spec_c = pl.BlockSpec((1, 2, k, tile), lambda ib, it: (ib, 0, 0, it),
+                          memory_space=pltpu.VMEM)
+    de = pl.pallas_call(
+        functools.partial(_bwd_kernel, kernel_width=float(kernel_width),
+                          regularizer=float(regularizer), k=k),
+        grid=(b, n_pad // tile),
+        in_specs=[spec_e, spec_c, spec_c],
+        out_specs=spec_e,
+        out_shape=jax.ShapeDtypeStruct((b, 12, k, n_pad), jnp.float32),
+        interpret=interpret,
+    )(edges, ctg, ctd)
+    return (de,)
+
+
 def _wls_vjp_bwd(kernel_width, regularizer, tile, interpret, edges, cts):
+    if jax.default_backend() == "tpu" or interpret:
+        return _wls_bwd_pallas(edges, cts, kernel_width, regularizer,
+                               tile, interpret)
+
     def ref(e):
         g, d = _wls_math(jnp.moveaxis(e, 1, 0), kernel_width, regularizer)
         # [2, B, K, N] -> [B, 2, K, N]
