@@ -40,6 +40,17 @@ def _pad_to(x, multiple, axis, value=0):
     return jnp.pad(x, widths, constant_values=value)
 
 
+def fit_tile(tile, per_t_bytes, fixed_bytes=0, budget=10 * 2**20,
+             floor=32):
+    """Shrinks a point-tile until the kernel's VMEM working set fits
+    the ~16 MB scoped budget (with headroom). The one-hot is the
+    dominant term ([K*T, N] bf16): e.g. K=30, N=2048, C=128 blows VMEM
+    at T=128 (observed 17 MB > 16 MB compile failure)."""
+    while tile > floor and fixed_bytes + tile * per_t_bytes > budget:
+        tile //= 2
+    return tile
+
+
 # -- forward kernel ------------------------------------------------------
 
 
@@ -123,6 +134,8 @@ def _fwd_kernel(idx_ref, mask_ref, hilo_ref, out_ref, win_ref,
 def _pallas_fwd(h, idx, mask, tile=128, interpret=False):
     b, n, c = h.shape
     k = idx.shape[-1]
+    # onehot [K*T, N] bf16 + product [K*T, 2C] f32 dominate VMEM.
+    tile = fit_tile(tile, k * (2 * n + 12 * c))
     idx_p = _pad_to(idx.astype(jnp.int32), tile, 1)
     mask_p = _pad_to(mask.astype(jnp.int32), tile, 1)
     n_pad = idx_p.shape[1]
@@ -214,6 +227,11 @@ def _pallas_bwd_mm(idx, winners_and_gs, n_out, tile=128):
     with one or two entries; returns dh [B, n_out, C] f32."""
     b, n, c = winners_and_gs[0][1].shape
     k = idx.shape[-1]
+    # onehot [K*T, N] bf16 + masked cotangents [K*T, C] f32 +
+    # lane-packed [K*T, 2C] bf16; the [N, 2C] f32 accumulator is
+    # tile-independent.
+    tile = fit_tile(tile, k * (2 * n + 12 * c),
+                    fixed_bytes=n_out * 8 * c)
     idx_p = _pad_to(idx.astype(jnp.int32), tile, 1)
     n_pad = idx_p.shape[1]
     two = len(winners_and_gs) == 2
@@ -309,6 +327,7 @@ gather_max.defvjp(_gather_max_fwd, _gather_max_bwd)
 def _pallas_minmax(h, idx, mask, tile=128, interpret=False):
     b, n, c = h.shape
     k = idx.shape[-1]
+    tile = fit_tile(tile, k * (2 * n + 12 * c))
     idx_p = _pad_to(idx.astype(jnp.int32), tile, 1)
     mask_p = _pad_to(mask.astype(jnp.int32), tile, 1)
     n_pad = idx_p.shape[1]

@@ -95,8 +95,11 @@ def gather_rows(table, idx, tile=128, interpret=False, pad_cols=False):
 
 
 def _fwd(table, idx, tile, interpret, pad_cols=False):
+    from .gather_max import fit_tile
+
     b, n, c_in = table.shape
     k = idx.shape[-1]
+    tile = fit_tile(tile, k * (2 * n + 12 * c_in))
     idx_p = _pad_to(idx.astype(jnp.int32), tile, 1)
     n_pad = idx_p.shape[1]
 
@@ -135,10 +138,13 @@ def _gather_rows_fwd(table, idx, tile, interpret, pad_cols):
 
 
 def _gather_rows_bwd(tile, interpret, pad_cols, res, g):
+    from .gather_max import fit_tile
+
     idx, tshape, dtype_carrier = res
     b, n, c_in = tshape
     c = g.shape[-1]
     k = idx.shape[-1]
+    tile = fit_tile(tile, k * (2 * n + 12 * c), fixed_bytes=n * 4 * c)
     idx_p = _pad_to(idx.astype(jnp.int32), tile, 1)
     n_pad = idx_p.shape[1]
     g_p = _pad_to(g.astype(jnp.float32), tile, 2)
