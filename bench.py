@@ -43,12 +43,17 @@ def main():
     from deltaconv_tpu.data import synthetic_classification_batch
     from deltaconv_tpu.models import DeltaNetClassification
 
+    # Production serving config: bf16 matmuls/activations with f32
+    # BatchNorm statistics and parameters (tests pin logit agreement
+    # with the f32 path), bf16 dense operators, approximate kNN
+    # (>0.98 recall). The geometry/WLS pipeline stays f32.
     model = DeltaNetClassification(
         num_classes=NUM_CLASSES,
         conv_channels=CONV_CHANNELS,
         num_neighbors=K,
         dense_operators=True,
         operator_dtype="bfloat16",
+        compute_dtype="bfloat16",
         knn_method="approx",
     )
     batch = synthetic_classification_batch(0, BATCH, NUM_POINTS, NUM_CLASSES)

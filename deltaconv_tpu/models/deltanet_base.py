@@ -121,6 +121,10 @@ class DeltaNetBase(lnn.Module):
     dense_operators: bool = True
     operator_dtype: Optional[str] = None
     knn_method: str = "exact"
+    # Mixed precision for the conv stack: bf16 matmuls/activations,
+    # f32 BatchNorm statistics and parameters. Geometry (operator
+    # construction) always runs f32.
+    compute_dtype: Optional[str] = None
 
     @lnn.compact
     def __call__(self, pos, normal=None, features=None, point_mask=None,
@@ -148,6 +152,8 @@ class DeltaNetBase(lnn.Module):
             gd = densify(gd, op_dtype)
 
         x = features if features is not None else pos
+        if self.compute_dtype:
+            x = x.astype(jnp.dtype(self.compute_dtype))
         v = gd.grad(x)
 
         out = []
@@ -159,6 +165,7 @@ class DeltaNetBase(lnn.Module):
                 depth=self.mlp_depth,
                 centralized=(self.centralize_first and i == 0),
                 vector=not last,
+                dtype=self.compute_dtype,
                 name=f"conv{i}",
             )(x, v, gd, train=train, point_mask=point_mask)
             out.append(x)

@@ -36,6 +36,7 @@ class DeltaNetClassification(lnn.Module):
     dropout: float = 0.5
     dense_operators: bool = True
     operator_dtype: Optional[str] = None
+    compute_dtype: Optional[str] = None
     knn_method: str = "exact"
 
     @lnn.compact
@@ -50,13 +51,15 @@ class DeltaNetClassification(lnn.Module):
             grad_kernel_width=self.grad_kernel_width,
             dense_operators=self.dense_operators,
             operator_dtype=self.operator_dtype,
+            compute_dtype=self.compute_dtype,
             knn_method=self.knn_method,
             name="deltanet_base",
         )(pos, normal=normal, features=features, point_mask=point_mask,
           train=train)
 
         x = jnp.concatenate(conv_out, axis=-1)
-        x = MLP([self.embedding_size], name="lin_embedding")(
+        x = MLP([self.embedding_size], dtype=self.compute_dtype,
+                name="lin_embedding")(
             x, train=train, mask=point_mask)
 
         x = jnp.concatenate(
@@ -64,8 +67,11 @@ class DeltaNetClassification(lnn.Module):
             axis=-1,
         )
 
-        x = MLP([512], name="head0")(x, train=train)
+        x = MLP([512], dtype=self.compute_dtype, name="head0")(
+            x, train=train)
         x = lnn.Dropout(self.dropout, deterministic=not train)(x)
-        x = MLP([256], name="head1")(x, train=train)
+        x = MLP([256], dtype=self.compute_dtype, name="head1")(
+            x, train=train)
         x = lnn.Dropout(self.dropout, deterministic=not train)(x)
-        return lnn.Dense(self.num_classes, name="head_out")(x)
+        return lnn.Dense(self.num_classes, name="head_out")(
+            x.astype(jnp.float32))

@@ -40,6 +40,7 @@ class DeltaNetSegmentation(lnn.Module):
     dropout: float = 0.5
     dense_operators: bool = True
     operator_dtype: Optional[str] = None
+    compute_dtype: Optional[str] = None
     knn_method: str = "exact"
 
     @lnn.compact
@@ -57,13 +58,15 @@ class DeltaNetSegmentation(lnn.Module):
             grad_kernel_width=self.grad_kernel_width,
             dense_operators=self.dense_operators,
             operator_dtype=self.operator_dtype,
+            compute_dtype=self.compute_dtype,
             knn_method=self.knn_method,
             name="deltanet_base",
         )(pos, normal=normal, features=features, point_mask=point_mask,
           train=train)
 
         x = jnp.concatenate(conv_out, axis=-1)
-        x = MLP([self.embedding_size], name="lin_global")(
+        x = MLP([self.embedding_size], dtype=self.compute_dtype,
+                name="lin_global")(
             x, train=train, mask=point_mask)
 
         n = pos.shape[-2]
@@ -77,7 +80,8 @@ class DeltaNetSegmentation(lnn.Module):
                 raise ValueError(
                     "categorical_vector=True requires a category one-hot"
                 )
-            cat = MLP([64], name="lin_categorical")(category, train=train)
+            cat = MLP([64], dtype=self.compute_dtype,
+                      name="lin_categorical")(category, train=train)
             cat = jnp.broadcast_to(
                 cat[..., None, :], cat.shape[:-1] + (n, cat.shape[-1])
             )
@@ -85,10 +89,13 @@ class DeltaNetSegmentation(lnn.Module):
 
         x = jnp.concatenate([x_max] + conv_out, axis=-1)
 
-        x = MLP([256], name="head0")(x, train=train, mask=point_mask)
+        x = MLP([256], dtype=self.compute_dtype, name="head0")(
+            x, train=train, mask=point_mask)
         x = lnn.Dropout(self.dropout, deterministic=not train)(x)
-        x = MLP([256], name="head1")(x, train=train, mask=point_mask)
+        x = MLP([256], dtype=self.compute_dtype, name="head1")(
+            x, train=train, mask=point_mask)
         x = lnn.Dropout(self.dropout, deterministic=not train)(x)
         x = lnn.Dense(128, name="head2")(x)
         x = leaky_relu02(x)
-        return lnn.Dense(self.num_classes, name="head_out")(x)
+        return lnn.Dense(self.num_classes, name="head_out")(
+            x.astype(jnp.float32))

@@ -15,7 +15,7 @@ The PyG ragged scatter-max becomes a dense masked max over the fixed
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 import flax.linen as lnn
 import jax
@@ -155,6 +155,7 @@ class EdgeMaxMLP(lnn.Module):
     """
 
     out_channels: int
+    dtype: Optional[str] = None
 
     @lnn.compact
     def __call__(self, x, nbr_idx, nbr_mask, train: bool = False,
@@ -171,9 +172,13 @@ class EdgeMaxMLP(lnn.Module):
             if stats_mask is not None:
                 stats_mask = stats_mask[None]
 
-        y = lnn.Dense(self.out_channels, use_bias=False, name="lin0")(x)
-        y = y.astype(jnp.float32)
+        dt = jnp.dtype(self.dtype) if self.dtype else jnp.float32
+        y = lnn.Dense(self.out_channels, use_bias=False, dtype=dt,
+                      name="lin0")(x)
+        y = y.astype(dt)
+        # bf16 y runs the gather kernels single-pass (half the FLOPs).
         mx, mn = gather_minmax(y, nbr_idx, nbr_mask)
+        y = y.astype(jnp.float32)
         hmax = mx - y
         hmin = mn - y
 
@@ -195,7 +200,7 @@ class EdgeMaxMLP(lnn.Module):
 
         out = _RawBNHolder(name="bn0")(hmax, hmin, mean, var, train)
         any_valid = jnp.any(nbr_mask, axis=-1)[..., None]
-        out = jnp.where(any_valid, out, 0.0)
+        out = jnp.where(any_valid, out, 0.0).astype(dt)
         return out[0] if unbatched else out
 
 
@@ -219,6 +224,9 @@ class DeltaConv(lnn.Module):
     # Edge-tensor-free centralized branch (EdgeMaxMLP); exact up to
     # float reassociation. Off-switch exists for A/B testing only.
     fast_centralized: bool = True
+    # Mixed precision: bf16 matmuls/activations, f32 BatchNorm stats
+    # and parameters ("bfloat16" | None for f32).
+    dtype: Optional[str] = None
 
     @lnn.compact
     def __call__(self, x, v, gd: GradDiv, train: bool = False,
@@ -234,18 +242,20 @@ class DeltaConv(lnn.Module):
         if self.centralized:
             if (self.fast_centralized and self.depth == 1
                     and self.aggr == "max"):
-                x_max = EdgeMaxMLP(self.out_channels, name="s_mlp_max")(
+                x_max = EdgeMaxMLP(self.out_channels, dtype=self.dtype,
+                                   name="s_mlp_max")(
                     x, gd.nbr_idx, gd.nbr_mask, train=train,
                     stats_mask=edge_mask)
             else:
                 x_j = gather_neighbors(x, gd.nbr_idx)  # [..., N, K, C]
                 edge = x_j - x[..., :, None, :]
-                h = MLP(channels, name="s_mlp_max")(edge, train=train,
-                                                    mask=edge_mask)
+                h = MLP(channels, dtype=self.dtype,
+                        name="s_mlp_max")(edge, train=train,
+                                          mask=edge_mask)
                 x_max = _aggregate(h, gd.nbr_mask, self.aggr)
         else:
-            h = MLP(channels, name="s_mlp_max")(x, train=train,
-                                                mask=point_mask)
+            h = MLP(channels, dtype=self.dtype,
+                    name="s_mlp_max")(x, train=train, mask=point_mask)
             if self.aggr == "max":
                 # Fused Pallas gather+max on TPU (ops/gather_max.py);
                 # reference XLA path elsewhere.
@@ -268,8 +278,9 @@ class DeltaConv(lnn.Module):
         div_v = dd[..., :c]
         curl_v = -dd[..., c:]
         x_cat = jnp.concatenate([x, div_v, curl_v, norm(v)], axis=-1)
-        x = x_max + MLP(channels, name="s_mlp")(x_cat, train=train,
-                                                mask=point_mask)
+        x = x_max + MLP(channels, dtype=self.dtype,
+                        name="s_mlp")(x_cat, train=train,
+                                      mask=point_mask)
 
         # Vector stream. Both Hodge-Laplacian terms AND grad(x') come
         # from the SAME grad operator, so all three ride ONE 3C-wide
@@ -278,7 +289,8 @@ class DeltaConv(lnn.Module):
             gg = gd.grad(jnp.concatenate([div_v, curl_v, x], axis=-1))
             hodge = -(gg[..., :c] + J(gg[..., c:2 * c]))
             v_cat = jnp.concatenate([v, hodge, gg[..., 2 * c:]], axis=-1)
-            v = VectorMLP(channels, name="v_mlp")(I_J(v_cat), train=train,
-                                                  mask=point_mask)
+            v = VectorMLP(channels, dtype=self.dtype,
+                          name="v_mlp")(I_J(v_cat), train=train,
+                                        mask=point_mask)
 
         return x, v

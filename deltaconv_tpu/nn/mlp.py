@@ -11,6 +11,7 @@ from __future__ import annotations
 from typing import Callable, Optional, Sequence
 
 import flax.linen as lnn
+import jax.numpy as jnp
 
 from .nonlin import BatchNorm, VectorNonLin, leaky_relu02
 
@@ -23,21 +24,29 @@ class MLP(lnn.Module):
     ``channels`` lists the output width of every layer (the input width
     is inferred), matching the reference's ``MLP([in, h1, ...])`` minus
     the explicit input entry.
+
+    ``dtype``: compute dtype of the Dense matmuls and activations
+    (mixed precision; params stay f32, BatchNorm statistics run f32).
     """
 
     channels: Sequence[int]
     nonlin: Optional[Callable] = leaky_relu02
+    dtype: Optional[str] = None
 
     @lnn.compact
     def __call__(self, x, train: bool = False, mask=None):
         """``mask``: optional validity over ``x.shape[:-1]`` — masked
         rows are excluded from BatchNorm statistics (padding points
         must not pollute train-mode normalization)."""
+        dt = jnp.dtype(self.dtype) if self.dtype else None
         for i, ch in enumerate(self.channels):
-            x = lnn.Dense(ch, use_bias=False, name=f"lin{i}")(x)
+            x = lnn.Dense(ch, use_bias=False, dtype=dt,
+                          name=f"lin{i}")(x)
             x = BatchNorm(name=f"bn{i}")(x, train=train, mask=mask)
             if self.nonlin is not None:
                 x = self.nonlin(x)
+            if dt is not None:
+                x = x.astype(dt)
         return x
 
 
@@ -51,15 +60,20 @@ class VectorMLP(lnn.Module):
 
     channels: Sequence[int]
     use_batchnorm: bool = True
+    dtype: Optional[str] = None
 
     @lnn.compact
     def __call__(self, v, train: bool = False, mask=None):
         """``mask``: optional validity over ``v.shape[:-2]``."""
+        dt = jnp.dtype(self.dtype) if self.dtype else None
         for i, ch in enumerate(self.channels):
-            v = lnn.Dense(ch, use_bias=False, name=f"lin{i}")(v)
+            v = lnn.Dense(ch, use_bias=False, dtype=dt,
+                          name=f"lin{i}")(v)
             v = VectorNonLin(
                 use_batchnorm=self.use_batchnorm, name=f"nonlin{i}"
             )(v, train=train, mask=mask)
+            if dt is not None:
+                v = v.astype(dt)
         return v
 
 

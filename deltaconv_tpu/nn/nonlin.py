@@ -49,12 +49,16 @@ class BatchNorm(lnn.Module):
     def __call__(self, x, train: bool = False, mask=None):
         if mask is not None and mask.ndim == x.ndim - 1:
             mask = mask[..., None]
+        # dtype=float32: statistics and normalization run in f32 even
+        # when the surrounding network computes in bf16 (mixed
+        # precision); output is f32, callers cast back.
         return lnn.BatchNorm(
             use_running_average=not train,
             momentum=self.momentum,
             epsilon=self.epsilon,
             use_scale=self.use_scale,
             use_bias=self.use_bias,
+            dtype=jnp.float32,
         )(x, mask=mask)
 
 
@@ -75,11 +79,11 @@ class VectorNonLin(lnn.Module):
         """``mask``: optional validity over ``v.shape[:-2]`` — masked
         entries are excluded from the norm batch statistics."""
         c = v.shape[-1]
-        n = safe_norm(v, axis=-2)  # [..., C]
+        n = safe_norm(v.astype(jnp.float32), axis=-2)  # [..., C]
         if self.use_batchnorm:
             shifted = BatchNorm(name="bn")(n, train=train, mask=mask)
         else:
             bias = self.param("bias", lnn.initializers.zeros, (c,))
             shifted = n + bias
         scale = self.nonlin(shifted) / jnp.maximum(n, EPS)
-        return v * scale[..., None, :]
+        return v * scale[..., None, :].astype(v.dtype)

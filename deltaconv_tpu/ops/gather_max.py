@@ -51,17 +51,35 @@ def fit_tile(tile, per_t_bytes, fixed_bytes=0, budget=10 * 2**20,
     return tile
 
 
+def split_hilo(h):
+    """(packed_table, paired): f32 features are split h = hi + lo and
+    lane-packed as [..., 2C] for an exact gather; bf16 features are
+    already exactly representable, so the kernels run a single pass
+    at half the FLOPs (the mixed-precision path)."""
+    if h.dtype == jnp.bfloat16:
+        return h, False
+    hf = h.astype(jnp.float32)
+    hi = hf.astype(jnp.bfloat16)
+    # Without the barrier XLA's excess-precision simplifier cancels
+    # f32(bf16(h)) -> h under jit, folding lo to zero and silently
+    # degrading the gather to single-pass bf16 (observed: 2e-3 rel
+    # error at C >= 128 while eager stayed exact).
+    hi = jax.lax.optimization_barrier(hi)
+    lo = (hf - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([hi, lo], axis=-1), True
+
+
 # -- forward kernel ------------------------------------------------------
 
 
 def _minmax_kernel(idx_ref, mask_ref, hilo_ref, mx_ref, mn_ref,
-                   wmx_ref, wmn_ref, *, k, n):
+                   wmx_ref, wmn_ref, *, k, n, paired):
     """Same one-hot matmul as ``_fwd_kernel`` but tracks BOTH the max
     and the min (plus winners) in one pass — the centralized DeltaConv
     fast path needs both extremes (negative BatchNorm scales flip the
     monotone nonlinearity, see nn/deltaconv.py)."""
     t = idx_ref.shape[1]
-    c = hilo_ref.shape[2] // 2
+    c = hilo_ref.shape[2] // (2 if paired else 1)
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (t, n), 1)
     ones = [
         (idx_ref[0, :, kk][:, None] == col_iota).astype(jnp.bfloat16)
@@ -69,8 +87,8 @@ def _minmax_kernel(idx_ref, mask_ref, hilo_ref, mx_ref, mn_ref,
     ]
     onehot = jnp.concatenate(ones, axis=0)
     both = jnp.dot(onehot, hilo_ref[0],
-                   preferred_element_type=jnp.float32)  # [K*T, 2C]
-    val = both[:, :c] + both[:, c:]
+                   preferred_element_type=jnp.float32)  # [K*T, 2C|C]
+    val = both[:, :c] + both[:, c:] if paired else both
     best = jnp.full((t, c), _NEG, jnp.float32)
     worst = jnp.full((t, c), -_NEG, jnp.float32)
     wbest = jnp.zeros((t, c), jnp.int32)
@@ -93,7 +111,7 @@ def _minmax_kernel(idx_ref, mask_ref, hilo_ref, mx_ref, mn_ref,
 
 
 def _fwd_kernel(idx_ref, mask_ref, hilo_ref, out_ref, win_ref,
-                *, k, n):
+                *, k, n, paired):
     """One k-major one-hot [K*T, N] feeding ONE bf16 MXU pass.
 
     The feature table is pre-split h = hi + lo with hi = bf16(h),
@@ -106,7 +124,7 @@ def _fwd_kernel(idx_ref, mask_ref, hilo_ref, out_ref, win_ref,
     zero otherwise.
     """
     t = idx_ref.shape[1]
-    c = hilo_ref.shape[2] // 2
+    c = hilo_ref.shape[2] // (2 if paired else 1)
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (t, n), 1)
 
     ones = [
@@ -115,8 +133,8 @@ def _fwd_kernel(idx_ref, mask_ref, hilo_ref, out_ref, win_ref,
     ]
     onehot = jnp.concatenate(ones, axis=0)  # [K*T, N], k-major rows
     both = jnp.dot(onehot, hilo_ref[0],
-                   preferred_element_type=jnp.float32)  # [K*T, 2C]
-    val = both[:, :c] + both[:, c:]
+                   preferred_element_type=jnp.float32)  # [K*T, 2C|C]
+    val = both[:, :c] + both[:, c:] if paired else both
     # Static unrolled max/argmax over the K row-blocks (Mosaic handles
     # sliced sublane reads better than leading-axis reductions).
     best = jnp.full((t, c), _NEG, jnp.float32)
@@ -140,26 +158,19 @@ def _pallas_fwd(h, idx, mask, tile=128, interpret=False):
     mask_p = _pad_to(mask.astype(jnp.int32), tile, 1)
     n_pad = idx_p.shape[1]
 
-    hf = h.astype(jnp.float32)
-    hi = hf.astype(jnp.bfloat16)
-    # Without the barrier XLA's excess-precision simplifier cancels
-    # f32(bf16(h)) -> h under jit, folding lo to zero and silently
-    # degrading the gather to single-pass bf16 (observed: 2e-3 rel
-    # error at C >= 128 while eager stayed exact).
-    hi = jax.lax.optimization_barrier(hi)
-    lo = (hf - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    hilo = jnp.concatenate([hi, lo], axis=-1)  # [B, N, 2C]
+    hilo, paired = split_hilo(h)
+    cw = 2 * c if paired else c
 
     grid = (b, n_pad // tile)
     out, winner = pl.pallas_call(
-        functools.partial(_fwd_kernel, k=k, n=n),
+        functools.partial(_fwd_kernel, k=k, n=n, paired=paired),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, tile, k), lambda ib, it: (ib, it, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile, k), lambda ib, it: (ib, it, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, 2 * c), lambda ib, it: (ib, 0, 0),
+            pl.BlockSpec((1, n, cw), lambda ib, it: (ib, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -332,20 +343,18 @@ def _pallas_minmax(h, idx, mask, tile=128, interpret=False):
     mask_p = _pad_to(mask.astype(jnp.int32), tile, 1)
     n_pad = idx_p.shape[1]
 
-    hf = h.astype(jnp.float32)
-    hi = jax.lax.optimization_barrier(hf.astype(jnp.bfloat16))
-    lo = (hf - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    hilo = jnp.concatenate([hi, lo], axis=-1)  # [B, N, 2C]
+    hilo, paired = split_hilo(h)
+    cw = 2 * c if paired else c
 
     spec_t = pl.BlockSpec((1, tile, k), lambda ib, it: (ib, it, 0),
                           memory_space=pltpu.VMEM)
     spec_o = pl.BlockSpec((1, tile, c), lambda ib, it: (ib, it, 0),
                           memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
-        functools.partial(_minmax_kernel, k=k, n=n),
+        functools.partial(_minmax_kernel, k=k, n=n, paired=paired),
         grid=(b, n_pad // tile),
         in_specs=[spec_t, spec_t,
-                  pl.BlockSpec((1, n, 2 * c), lambda ib, it: (ib, 0, 0),
+                  pl.BlockSpec((1, n, cw), lambda ib, it: (ib, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=[spec_o, spec_o, spec_o, spec_o],
         out_shape=[
