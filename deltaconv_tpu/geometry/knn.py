@@ -52,6 +52,15 @@ def knn(pos, k: int, point_mask=None, method: str = "exact"):
     sq = jnp.sum(pos * pos, axis=-1)
 
     if point_mask is None and n >= k:
+        if method == "approx" and jax.default_backend() == "tpu":
+            # Fused Pallas scores+top-k (ops/knn_topk.py): nothing
+            # round-trips HBM and the result is EXACT top-k (recall
+            # 1.0 vs approx_max_k's 0.95 target).
+            from ..ops.knn_topk import knn_topk
+
+            idx = knn_topk(pos[None], k)[0]
+            return idx, jnp.ones(idx.shape, bool)
+
         # Fast path: per-row top-k order is invariant to row-constant
         # shifts, so drop the |xi|^2 term, keep the similarity POSITIVE
         # (score = 2 xi.xj - |xj|^2 = |xi|^2 - d^2), and fold the

@@ -1,0 +1,83 @@
+"""Fused kNN kernel: pairwise scores + iterative top-k in VMEM.
+
+The XLA path materializes the ``[B, N, N]`` score matrix in HBM and
+runs ``lax.approx_max_k`` over it (~2 ms device at B=32, N=1024). This
+kernel computes each query tile's score rows in VMEM (three FMA passes
+— the contraction dimension is 3, no MXU needed) and extracts the k
+best columns with k exact (max, argmin-of-ties, mask) sweeps, so
+nothing ever round-trips HBM except the ``[B, N, K]`` index output.
+
+Scores are f32 (products of f32 VPU ops — no matmul rounding), ties
+break to the LOWEST index, and the self column is pinned to slot 0,
+matching `geometry.knn`'s conventions. Used for the unmasked
+``method="approx"`` path (semantics are actually exact top-k here,
+strictly better than approx_max_k's 0.95 recall).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["knn_topk"]
+
+_BIG = 1e30
+
+
+def _kernel(pos_ref, post_ref, sq_ref, idx_ref, *, k, n, tile):
+    t0 = pl.program_id(1) * tile
+    q = pos_ref[0]  # [T, 3]
+    qx, qy, qz = q[:, 0:1], q[:, 1:2], q[:, 2:3]  # [T, 1]
+    px = post_ref[0, 0:1, :]  # [1, N]
+    py = post_ref[0, 1:2, :]
+    pz = post_ref[0, 2:3, :]
+    # score = 2 q.p - |p|^2  (= |q|^2 - d^2; row shifts don't change
+    # per-row order).
+    s = 2.0 * (qx * px + qy * py + qz * pz) - sq_ref[0]  # [T, N]
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    row = t0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    s = jnp.where(col == row, 2.0 * _BIG, s)
+
+    winners = []
+    for _ in range(k):
+        best = jnp.max(s, axis=1, keepdims=True)  # [T, 1]
+        win = jnp.min(jnp.where(s >= best, col, n), axis=1,
+                      keepdims=True)  # lowest-index tie-break
+        winners.append(win)
+        s = jnp.where(col == win, -_BIG, s)
+    idx_ref[0] = jnp.concatenate(winners, axis=1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile", "interpret"))
+def knn_topk(pos, k: int, tile: int = 128, interpret: bool = False):
+    """``pos [B, N, 3] -> idx [B, N, K]`` exact k-nearest (self in
+    slot 0, ties to the lowest index). No mask support — callers with
+    ``point_mask`` use the XLA path."""
+    b, n, _ = pos.shape
+    pad = (-n) % tile
+    pos_p = jnp.pad(pos.astype(jnp.float32), ((0, 0), (0, pad), (0, 0)))
+    n_pad = n + pad
+    post = jnp.swapaxes(pos, 1, 2).astype(jnp.float32)  # [B, 3, N]
+    sq = jnp.sum(post * post, axis=1, keepdims=True)  # [B, 1, N]
+
+    idx = pl.pallas_call(
+        functools.partial(_kernel, k=k, n=n, tile=tile),
+        grid=(b, n_pad // tile),
+        in_specs=[
+            pl.BlockSpec((1, tile, 3), lambda ib, it: (ib, it, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, n), lambda ib, it: (ib, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda ib, it: (ib, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile, k), lambda ib, it: (ib, it, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, k), jnp.int32),
+        interpret=interpret,
+    )(pos_p, post, sq)
+    return idx[:, :n]

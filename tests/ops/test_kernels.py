@@ -248,6 +248,26 @@ def test_gather_max_pallas_exact_under_jit_tpu(rng, c):
     np.testing.assert_allclose(np.asarray(out), want, atol=1e-5)
 
 
+def test_knn_topk_interpret_exact(rng):
+    """Pallas fused kNN == exact numpy top-k (set equality; slot 0 is
+    the self-loop; ties break to the lowest index)."""
+    from deltaconv_tpu.ops.knn_topk import knn_topk
+
+    b, n, k = 2, 256, 12
+    pos = jnp.asarray(rng.random((b, n, 3)).astype(np.float32))
+    idx = np.asarray(knn_topk(pos, k, interpret=True))
+
+    pn = np.asarray(pos, np.float64)
+    d2 = ((pn[:, :, None, :] - pn[:, None, :, :]) ** 2).sum(-1)
+    for bi in range(b):
+        np.fill_diagonal(d2[bi], -1.0)
+    ref = np.argsort(d2, axis=-1, kind="stable")[:, :, :k]
+    assert np.all(idx[:, :, 0] == np.arange(n)[None, :])
+    for bi in range(b):
+        for ni in range(n):
+            assert set(ref[bi, ni]) == set(idx[bi, ni])
+
+
 def _wls_inputs(rng, b=2, n=64, k=10):
     from deltaconv_tpu.geometry.frames import build_tangent_basis
     from deltaconv_tpu.geometry.knn import knn
