@@ -5,8 +5,8 @@ per-edge coefficient operators via gather+einsum leaves the MXU idle.
 For the cloud sizes this framework targets (N <= a few thousand) the
 sparse operators fit comfortably as dense per-cloud matrices:
 
-  W_grad [B, 2N, N] : rows (d, n) d-major — grad x = W_grad @ x
-  W_div  [B, N, 2N] : cols (d, m) d-major — div v  = W_div @ vec(v)
+  W_grad [B, 2, N, N] : plane d maps scalars to the d-component
+  W_div  [B, 2, N, N] : plane d maps the d-component to scalars
 
 built ONCE per forward from the per-edge coefficients by a one-hot
 contraction (fused by XLA; Pallas build kernel is a later perf layer),
@@ -43,27 +43,33 @@ class DenseGradDiv:
 
     nbr_idx: jnp.ndarray  # [..., N, K] int32
     nbr_mask: jnp.ndarray  # [..., N, K] bool
-    w_grad: jnp.ndarray  # [..., 2N, N]
-    w_div: jnp.ndarray  # [..., N, 2N]
+    w_grad: jnp.ndarray  # [..., 2, N, N]
+    w_div: jnp.ndarray  # [..., 2, N, N]
 
     def grad(self, x):
         """``[..., N, C] -> [..., N, 2, C]`` via one batched matmul."""
-        n = x.shape[-2]
         out = jnp.einsum(
-            "...zm,...mc->...zc", self.w_grad, x.astype(self.w_grad.dtype),
+            "...dnm,...mc->...dnc", self.w_grad,
+            x.astype(self.w_grad.dtype),
             preferred_element_type=jnp.float32,
-        )  # [..., 2N, C] rows d-major
-        out = out.reshape(*out.shape[:-2], 2, n, out.shape[-1])
+        )  # [..., 2, N, C]
         return jnp.swapaxes(out, -3, -2).astype(x.dtype)  # [..., N, 2, C]
 
     def div(self, v):
-        """``[..., N, 2, C] -> [..., N, C]`` via one batched matmul."""
-        n = v.shape[-3]
-        vz = jnp.swapaxes(v, -3, -2)  # [..., 2, N, C] d-major rows
-        vz = vz.reshape(*vz.shape[:-3], 2 * n, vz.shape[-1])
+        """``[..., N, 2, C] -> [..., N, C]`` as two component matmuls.
+
+        Summing two ``[N, N] @ [N, C]`` products runs ~2.5x faster than
+        the equivalent single ``[N, 2N] @ [2N, C]`` contraction (XLA
+        materializes the interleaved transpose of ``v`` for the latter;
+        measured 0.39 vs 0.87 ms at B=32, N=1024, C=128 on v5e).
+        """
+        dt = self.w_div.dtype
         out = jnp.einsum(
-            "...nz,...zc->...nc", self.w_div, vz.astype(self.w_div.dtype),
-            preferred_element_type=jnp.float32,
+            "...nm,...mc->...nc", self.w_div[..., 0, :, :],
+            v[..., 0, :].astype(dt), preferred_element_type=jnp.float32,
+        ) + jnp.einsum(
+            "...nm,...mc->...nc", self.w_div[..., 1, :, :],
+            v[..., 1, :].astype(dt), preferred_element_type=jnp.float32,
         )
         return out.astype(v.dtype)
 
@@ -101,11 +107,10 @@ def densify(gd: GradDiv, dtype: Optional[jnp.dtype] = None,
 
     # Pallas assembly (ops/densify_op.py) builds rows in VMEM instead
     # of the XLA einsum's [B, N, K, N] one-hot in HBM. Measured on
-    # v5e: the einsum fuses better inside the full forward at small N
-    # (~1513 vs ~1476 clouds/s at N=1024), the kernel wins once the
-    # one-hot traffic dominates (4.8 vs 5.7 ms at N=2048) — so the
-    # kernel is the large-N path.
-    use_pallas = ((jax.default_backend() == "tpu" and n >= 2048)
+    # v5e at B=32, N=1024, K=20: the kernel assembles BOTH operators in
+    # ~2.7 ms vs ~3.1 ms for ONE einsum, so it is the TPU path for all
+    # cloud sizes of interest.
+    use_pallas = ((jax.default_backend() == "tpu" and n >= 512)
                   or interpret)
     if use_pallas and len(lead) <= 1:
         from ..ops.densify_op import densify_coefs
@@ -114,22 +119,15 @@ def densify(gd: GradDiv, dtype: Optional[jnp.dtype] = None,
         idx = gd.nbr_idx[None] if unbatched else gd.nbr_idx
         gc = gd.grad_coef[None] if unbatched else gd.grad_coef
         dc = gd.div_coef[None] if unbatched else gd.div_coef
-        wg, wd = densify_coefs(idx, gc, dc, jnp.dtype(dtype).name,
-                               128 if n <= 2048 else 64, interpret)
-        b = wg.shape[0]
-        w_grad = wg.reshape(b, 2 * n, n)
-        w_div = wd.reshape(b, n, 2 * n)
+        w_grad, w_div = densify_coefs(idx, gc, dc, jnp.dtype(dtype).name,
+                                      128 if n <= 2048 else 64, interpret)
         if unbatched:
             w_grad, w_div = w_grad[0], w_div[0]
         return DenseGradDiv(nbr_idx=gd.nbr_idx, nbr_mask=gd.nbr_mask,
                             w_grad=w_grad, w_div=w_div)
 
-    wg = _dense_from_coef(gd.nbr_idx, gd.grad_coef, n, dtype)
-    w_grad = wg.reshape(*lead, 2 * n, n).astype(dtype)
-
-    wd = _dense_from_coef(gd.nbr_idx, gd.div_coef, n, dtype)
-    # div rows are points, cols are (d, m) d-major.
-    w_div = jnp.swapaxes(wd, -3, -2).reshape(*lead, n, 2 * n).astype(dtype)
+    w_grad = _dense_from_coef(gd.nbr_idx, gd.grad_coef, n, dtype).astype(dtype)
+    w_div = _dense_from_coef(gd.nbr_idx, gd.div_coef, n, dtype).astype(dtype)
 
     return DenseGradDiv(
         nbr_idx=gd.nbr_idx,

@@ -1,7 +1,7 @@
 """Pallas dense-operator assembly.
 
 Materializes the per-edge grad/div coefficients into the dense MXU
-matrices (``W_grad [B, 2, N, N]``, ``W_div [B, N, 2, N]``) without the
+matrices (``W_grad [B, 2, N, N]``, ``W_div [B, 2, N, N]``) without the
 XLA one-hot einsum's ``[B, N, K, N]`` HBM intermediate (~2.7 GB of
 traffic at B=32, N=1024, K=20 — ~3 ms). Each point tile builds its
 rows in VMEM with K masked select-accumulates per plane and writes the
@@ -13,8 +13,8 @@ matrices back to per-edge slots with the same one-hot compares
 
 Layouts: coefficient planes arrive as four ``[B, N, K]`` arrays
 (g1, g2, d1, d2); outputs put the point-row axis on sublanes and the
-neighbor-column axis on lanes, so the XLA epilogue reshapes are free
-(``[B, 2, N, N] -> [B, 2N, N]`` and ``[B, N, 2, N] -> [B, N, 2N]``).
+neighbor-column axis on lanes, as component-major ``[B, 2, N, N]``
+planes consumed directly by ``geometry.dense.DenseGradDiv``.
 """
 
 from __future__ import annotations
@@ -40,7 +40,11 @@ def _pad_to(x, multiple, axis):
 
 def _fwd_kernel(idx_ref, g1_ref, g2_ref, d1_ref, d2_ref,
                 wg_ref, wd_ref, *, k, n):
+    """Each point places its K coefficients into its dense row via K
+    masked select-accumulates in f32 (bf16 accumulation trips a Mosaic
+    i1-relayout bug on v5e as of jax 0.8; placement would be exact)."""
     t = idx_ref.shape[1]
+    dt = wg_ref.dtype
     col = jax.lax.broadcasted_iota(jnp.int32, (t, n), 1)
     zero = jnp.zeros((t, n), jnp.float32)
     ag1, ag2, ad1, ad2 = zero, zero, zero, zero
@@ -50,11 +54,10 @@ def _fwd_kernel(idx_ref, g1_ref, g2_ref, d1_ref, d2_ref,
         ag2 = ag2 + jnp.where(hit, g2_ref[0, :, kk][:, None], 0.0)
         ad1 = ad1 + jnp.where(hit, d1_ref[0, :, kk][:, None], 0.0)
         ad2 = ad2 + jnp.where(hit, d2_ref[0, :, kk][:, None], 0.0)
-    dt = wg_ref.dtype
     wg_ref[0, 0] = ag1.astype(dt)
     wg_ref[0, 1] = ag2.astype(dt)
-    wd_ref[0, :, 0] = ad1.astype(dt)
-    wd_ref[0, :, 1] = ad2.astype(dt)
+    wd_ref[0, 0] = ad1.astype(dt)
+    wd_ref[0, 1] = ad2.astype(dt)
 
 
 def _bwd_kernel(idx_ref, dwg_ref, dwd_ref,
@@ -65,8 +68,8 @@ def _bwd_kernel(idx_ref, dwg_ref, dwd_ref,
     col = jax.lax.broadcasted_iota(jnp.int32, (t, n), 1)
     dwg1 = dwg_ref[0, 0]
     dwg2 = dwg_ref[0, 1]
-    dwd1 = dwd_ref[0, :, 0]
-    dwd2 = dwd_ref[0, :, 1]
+    dwd1 = dwd_ref[0, 0]
+    dwd2 = dwd_ref[0, 1]
     for kk in range(k):
         hit = idx_ref[0, :, kk][:, None] == col
         dg1_ref[0, :, kk] = jnp.sum(jnp.where(hit, dwg1, 0.0), axis=1)
@@ -75,23 +78,11 @@ def _bwd_kernel(idx_ref, dwg_ref, dwd_ref,
         dd2_ref[0, :, kk] = jnp.sum(jnp.where(hit, dwd2, 0.0), axis=1)
 
 
-def _specs(tile, k, n, c2_first):
-    tk = pl.BlockSpec((1, tile, k), lambda ib, it: (ib, it, 0),
-                      memory_space=pltpu.VMEM)
-    if c2_first:  # [B, 2, N, N] blocks
-        w = pl.BlockSpec((1, 2, tile, n), lambda ib, it: (ib, 0, it, 0),
-                         memory_space=pltpu.VMEM)
-    else:  # [B, N, 2, N] blocks
-        w = pl.BlockSpec((1, tile, 2, n), lambda ib, it: (ib, it, 0, 0),
-                         memory_space=pltpu.VMEM)
-    return tk, w
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def densify_coefs(idx, grad_coef, div_coef, dtype_name="float32",
                   tile=128, interpret=False):
     """``idx [B, N, K], grad/div_coef [B, N, K, 2] ->
-    (w_grad [B, 2, N, N], w_div [B, N, 2, N])`` in ``dtype_name``.
+    (w_grad [B, 2, N, N], w_div [B, 2, N, N])`` in ``dtype_name``.
 
     Coefficients of masked edges must already be zero (they are, by
     construction — gaussian_weights zeroes them), so no mask input."""
@@ -109,23 +100,22 @@ def _fwd(idx, grad_coef, div_coef, dtype_name, tile, interpret):
         _pad_to(div_coef[..., 0].astype(jnp.float32), tile, 1),
         _pad_to(div_coef[..., 1].astype(jnp.float32), tile, 1),
     ]
-    tk, _ = _specs(tile, k, n, True)
-    wg_spec = pl.BlockSpec((1, 2, tile, n), lambda ib, it: (ib, 0, it, 0),
-                           memory_space=pltpu.VMEM)
-    wd_spec = pl.BlockSpec((1, tile, 2, n), lambda ib, it: (ib, it, 0, 0),
-                           memory_space=pltpu.VMEM)
+    tk = pl.BlockSpec((1, tile, k), lambda ib, it: (ib, it, 0),
+                      memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((1, 2, tile, n), lambda ib, it: (ib, 0, it, 0),
+                          memory_space=pltpu.VMEM)
     wg, wd = pl.pallas_call(
         functools.partial(_fwd_kernel, k=k, n=n),
         grid=(b, n_pad // tile),
         in_specs=[tk] * 5,
-        out_specs=[wg_spec, wd_spec],
+        out_specs=[w_spec, w_spec],
         out_shape=[
             jax.ShapeDtypeStruct((b, 2, n_pad, n), dtype),
-            jax.ShapeDtypeStruct((b, n_pad, 2, n), dtype),
+            jax.ShapeDtypeStruct((b, 2, n_pad, n), dtype),
         ],
         interpret=interpret,
     )(idx_p, *planes)
-    return wg[:, :, :n], wd[:, :n]
+    return wg[:, :, :n], wd[:, :, :n]
 
 
 def _densify_fwd(idx, grad_coef, div_coef, dtype_name, tile, interpret):
@@ -140,18 +130,16 @@ def _densify_bwd(dtype_name, tile, interpret, res, cts):
     idx_p = _pad_to(idx.astype(jnp.int32), tile, 1)
     n_pad = idx_p.shape[1]
     dwg_p = _pad_to(dwg.astype(jnp.float32), tile, 2)
-    dwd_p = _pad_to(dwd.astype(jnp.float32), tile, 1)
+    dwd_p = _pad_to(dwd.astype(jnp.float32), tile, 2)
 
     tk = pl.BlockSpec((1, tile, k), lambda ib, it: (ib, it, 0),
                       memory_space=pltpu.VMEM)
-    wg_spec = pl.BlockSpec((1, 2, tile, n), lambda ib, it: (ib, 0, it, 0),
-                           memory_space=pltpu.VMEM)
-    wd_spec = pl.BlockSpec((1, tile, 2, n), lambda ib, it: (ib, it, 0, 0),
-                           memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((1, 2, tile, n), lambda ib, it: (ib, 0, it, 0),
+                          memory_space=pltpu.VMEM)
     grads = pl.pallas_call(
         functools.partial(_bwd_kernel, k=k, n=n),
         grid=(b, n_pad // tile),
-        in_specs=[tk, wg_spec, wd_spec],
+        in_specs=[tk, w_spec, w_spec],
         out_specs=[tk] * 4,
         out_shape=[jax.ShapeDtypeStruct((b, n_pad, k), jnp.float32)] * 4,
         interpret=interpret,
