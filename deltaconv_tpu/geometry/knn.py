@@ -53,12 +53,13 @@ def knn(pos, k: int, point_mask=None, method: str = "exact"):
 
     if point_mask is None and n >= k:
         if method == "approx" and jax.default_backend() == "tpu":
-            # Fused Pallas scores+top-k (ops/knn_topk.py): nothing
-            # round-trips HBM and the result is EXACT top-k (recall
-            # 1.0 vs approx_max_k's 0.95 target).
+            # Fused Pallas scores+top-k (ops/knn_topk.py) with
+            # packed-key sweeps: nothing round-trips HBM, ordering is
+            # exact at bf16 score granularity (recall ~0.999 vs
+            # approx_max_k's 0.95 target).
             from ..ops.knn_topk import knn_topk
 
-            idx = knn_topk(pos[None], k)[0]
+            idx = knn_topk(pos[None], k, quantized=True)[0]
             return idx, jnp.ones(idx.shape, bool)
 
         # Fast path: per-row top-k order is invariant to row-constant

@@ -268,6 +268,30 @@ def test_knn_topk_interpret_exact(rng):
             assert set(ref[bi, ni]) == set(idx[bi, ni])
 
 
+def test_knn_topk_quantized_high_recall(rng):
+    """The packed-key (bf16-granularity) kNN variant: self in slot 0,
+    no duplicate winners, and >= 0.995 recall vs exact top-k (only
+    neighbors whose scores collide at bf16 resolution may swap)."""
+    from deltaconv_tpu.ops.knn_topk import knn_topk
+
+    b, n, k = 2, 256, 12
+    pos = jnp.asarray(rng.random((b, n, 3)).astype(np.float32))
+    idx = np.asarray(knn_topk(pos, k, interpret=True, quantized=True))
+
+    pn = np.asarray(pos, np.float64)
+    d2 = ((pn[:, :, None, :] - pn[:, None, :, :]) ** 2).sum(-1)
+    for bi in range(b):
+        np.fill_diagonal(d2[bi], -1.0)
+    ref = np.argsort(d2, axis=-1, kind="stable")[:, :, :k]
+    assert np.all(idx[:, :, 0] == np.arange(n)[None, :])
+    hits = 0
+    for bi in range(b):
+        for ni in range(n):
+            assert len(set(idx[bi, ni].tolist())) == k  # no duplicates
+            hits += len(set(ref[bi, ni]) & set(idx[bi, ni]))
+    assert hits / (b * n * k) >= 0.995
+
+
 def _wls_inputs(rng, b=2, n=64, k=10):
     from deltaconv_tpu.geometry.frames import build_tangent_basis
     from deltaconv_tpu.geometry.knn import knn
