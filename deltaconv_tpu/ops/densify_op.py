@@ -38,11 +38,22 @@ def _pad_to(x, multiple, axis):
     return jnp.pad(x, widths)
 
 
+def _round_bf16_bits(x):
+    """f32 [T, K] -> int32 whose TOP 16 bits are the round-to-nearest-
+    even bf16 encoding (bottom 16 bits zero). -0.0 is canonicalized to
+    all-zero bits (in the bit domain — ``x + 0.0`` gets simplified away
+    by XLA) so an OR against a duplicate-column zero coefficient can
+    never flip a sign bit."""
+    u = jax.lax.bitcast_convert_type(x, jnp.int32)
+    u = jnp.where((u & jnp.int32(0x7FFFFFFF)) == 0, 0, u)
+    rounded = u + 0x7FFF + ((u >> 16) & 1)
+    return rounded & jnp.int32(-65536)
+
+
 def _fwd_kernel(idx_ref, g1_ref, g2_ref, d1_ref, d2_ref,
                 wg_ref, wd_ref, *, k, n):
     """Each point places its K coefficients into its dense row via K
-    masked select-accumulates in f32 (bf16 accumulation trips a Mosaic
-    i1-relayout bug on v5e as of jax 0.8; placement would be exact)."""
+    masked select-accumulates in f32."""
     t = idx_ref.shape[1]
     dt = wg_ref.dtype
     col = jax.lax.broadcasted_iota(jnp.int32, (t, n), 1)
@@ -58,6 +69,44 @@ def _fwd_kernel(idx_ref, g1_ref, g2_ref, d1_ref, d2_ref,
     wg_ref[0, 1] = ag2.astype(dt)
     wd_ref[0, 0] = ad1.astype(dt)
     wd_ref[0, 1] = ad2.astype(dt)
+
+
+def _fwd_kernel_bf16(idx_ref, g1_ref, g2_ref, d1_ref, d2_ref,
+                     wg_ref, wd_ref, *, k, n):
+    """bf16-output fast path: each accumulator carries TWO bf16 planes
+    packed in one int32 lane. Dense assembly is pure PLACEMENT — every
+    k writes a distinct column (padded slots clamp to self with +0.0
+    coefficients) — so bitwise OR accumulates exactly, and the packed
+    pair halves the per-k select/accumulate passes (the kernel's
+    entire cost). Values are rounded to bf16 (nearest-even) before
+    packing, matching the f32 kernel's final astype."""
+    t = idx_ref.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (t, n), 1)
+    # [T, K] packed pairs: g2 in the top 16 bits, g1 in the bottom.
+    pg = _round_bf16_bits(g2_ref[0]) | (
+        (_round_bf16_bits(g1_ref[0]) >> 16) & jnp.int32(0xFFFF))
+    pd = _round_bf16_bits(d2_ref[0]) | (
+        (_round_bf16_bits(d1_ref[0]) >> 16) & jnp.int32(0xFFFF))
+    zero = jnp.zeros((t, n), jnp.int32)
+    ag, ad = zero, zero
+    for kk in range(k):
+        hit = idx_ref[0, :, kk][:, None] == col
+        ag = ag | jnp.where(hit, pg[:, kk][:, None], 0)
+        ad = ad | jnp.where(hit, pd[:, kk][:, None], 0)
+    # Unpack: bf16 bits in the TOP half of an int32 ARE that value as
+    # a (truncated-mantissa) f32.
+    def hi(a):
+        return jax.lax.bitcast_convert_type(a & jnp.int32(-65536),
+                                            jnp.float32)
+
+    def lo(a):
+        return jax.lax.bitcast_convert_type(a << 16, jnp.float32)
+
+    dt = wg_ref.dtype
+    wg_ref[0, 0] = lo(ag).astype(dt)
+    wg_ref[0, 1] = hi(ag).astype(dt)
+    wd_ref[0, 0] = lo(ad).astype(dt)
+    wd_ref[0, 1] = hi(ad).astype(dt)
 
 
 def _bwd_kernel(idx_ref, dwg_ref, dwd_ref,
@@ -104,8 +153,9 @@ def _fwd(idx, grad_coef, div_coef, dtype_name, tile, interpret):
                       memory_space=pltpu.VMEM)
     w_spec = pl.BlockSpec((1, 2, tile, n), lambda ib, it: (ib, 0, it, 0),
                           memory_space=pltpu.VMEM)
+    kern = _fwd_kernel_bf16 if dtype == jnp.bfloat16 else _fwd_kernel
     wg, wd = pl.pallas_call(
-        functools.partial(_fwd_kernel, k=k, n=n),
+        functools.partial(kern, k=k, n=n),
         grid=(b, n_pad // tile),
         in_specs=[tk] * 5,
         out_specs=[w_spec, w_spec],

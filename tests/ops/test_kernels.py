@@ -268,6 +268,39 @@ def test_knn_topk_interpret_exact(rng):
             assert set(ref[bi, ni]) == set(idx[bi, ni])
 
 
+def test_densify_bf16_or_packing_matches_f32(rng):
+    """The bf16 OR-packed assembly kernel == the f32 kernel's output
+    rounded to bf16 (placement is exact; packing must not corrupt
+    signs/zeros, including -0.0-coefficient padded slots)."""
+    from deltaconv_tpu.ops.densify_op import densify_coefs
+
+    b, n, k = 2, 128, 9
+    # Distinct columns per row with self in slot 0 (the kernel
+    # contract: kNN neighbors are unique; only padded slots repeat,
+    # with zero coefficients): self + distinct nonzero offsets mod n.
+    off = np.stack([
+        np.stack([np.concatenate([[0], rng.permutation(n - 1)[:k - 1] + 1])
+                  for _ in range(n)])
+        for _ in range(b)
+    ])
+    idx = ((np.arange(n)[None, :, None] + off) % n).astype(np.int32)
+    idx[:, 17, -2:] = 17  # padded slots clamped to self...
+    gc = rng.standard_normal((b, n, k, 2)).astype(np.float32)
+    dc = rng.standard_normal((b, n, k, 2)).astype(np.float32)
+    gc[:, 17, -2:] = -0.0  # ...with negative-zero coefficients
+    dc[:, 17, -2:] = -0.0
+    idx, gc, dc = jnp.asarray(idx), jnp.asarray(gc), jnp.asarray(dc)
+
+    wg16, wd16 = jax.jit(lambda i, g, d: densify_coefs(
+        i, g, d, "bfloat16", 128, True))(idx, gc, dc)
+    wg32, wd32 = jax.jit(lambda i, g, d: densify_coefs(
+        i, g, d, "float32", 128, True))(idx, gc, dc)
+    np.testing.assert_array_equal(
+        np.asarray(wg16), np.asarray(wg32.astype(jnp.bfloat16)))
+    np.testing.assert_array_equal(
+        np.asarray(wd16), np.asarray(wd32.astype(jnp.bfloat16)))
+
+
 def test_knn_topk_quantized_high_recall(rng):
     """The packed-key (bf16-granularity) kNN variant: self in slot 0,
     no duplicate winners, and >= 0.995 recall vs exact top-k (only
