@@ -204,6 +204,83 @@ class EdgeMaxMLP(lnn.Module):
         return out[0] if unbatched else out
 
 
+class _Kernel(lnn.Module):
+    """Bias-free Dense kernel declared so the parent can ALSO hand the
+    raw weight matrix to a fused Pallas kernel. Parameter path
+    (``<name>/kernel``) and initializer match ``lnn.Dense``."""
+
+    features: int
+
+    @lnn.compact
+    def __call__(self, x):
+        w = self.param("kernel", lnn.initializers.lecun_normal(),
+                       (x.shape[-1], self.features), jnp.float32)
+        return w
+
+
+class PointMaxMLP(lnn.Module):
+    """Non-centralized scalar max branch:
+    ``max_k LeakyReLU(BN(Dense(x)[nbr_k]))``.
+
+    Training runs the reference pipeline (Dense -> BatchNorm ->
+    LeakyReLU per point, then the fused neighbor gather+max, which has
+    the single-winner VJP). Eval commutes the aggregation through the
+    monotone per-channel affine+LeakyReLU: the fused
+    ``gather_matmul_minmax`` kernel gathers the INPUT features (width
+    C_in instead of C_out — 1.6x fewer one-hot MACs on the reference's
+    last conv) and applies the Dense kernel in VMEM; the true max of
+    the nonlinear edge values is then ``max(f(max_k y), f(min_k y))``
+    whatever the sign of each channel's BatchNorm scale. Parameter
+    tree (lin0/kernel, bn0/BatchNorm_0/...) is identical to
+    ``MLP([C])``, so checkpoints and the torch importer are
+    path-compatible."""
+
+    out_channels: int
+    dtype: Optional[str] = None
+
+    @lnn.compact
+    def __call__(self, x, nbr_idx, nbr_mask, train: bool = False,
+                 stats_mask=None):
+        from ..ops.gather_max import gather_matmul_minmax, masked_nbr_max
+        from .nonlin import BatchNorm
+
+        unbatched = x.ndim == 2
+        if unbatched:
+            x, nbr_idx, nbr_mask = x[None], nbr_idx[None], nbr_mask[None]
+            if stats_mask is not None:
+                stats_mask = stats_mask[None]
+
+        dt = jnp.dtype(self.dtype) if self.dtype else jnp.float32
+        w = _Kernel(self.out_channels, name="lin0")(x)
+        bn = BatchNorm(name="bn0")
+
+        def pad128(c):
+            return -(-c // 128) * 128
+
+        # The fused path only wins when the gathered width is LANE-
+        # NARROWER than the output (the one-hot contraction pays per
+        # 128-lane block); otherwise it adds an edge matmul for free.
+        fused = (not train and dt == jnp.bfloat16
+                 and jax.default_backend() == "tpu"
+                 and pad128(x.shape[-1]) < pad128(self.out_channels))
+        if fused:
+            mx, mn = gather_matmul_minmax(x.astype(dt), w.astype(dt),
+                                          nbr_idx, nbr_mask)
+            # ONE BatchNorm call on the stacked pair (a second call
+            # would auto-create a second lnn.BatchNorm under the
+            # wrapper); eval BN is an elementwise per-channel affine,
+            # so stacking is transparent.
+            both = leaky_relu02(bn(jnp.stack([mx, mn]), train=False))
+            out = jnp.maximum(both[0], both[1])
+            any_valid = jnp.any(nbr_mask, axis=-1)[..., None]
+            out = jnp.where(any_valid, out, 0.0).astype(dt)
+        else:
+            y = jnp.dot(x.astype(dt), w.astype(dt))  # == Dense(dtype=dt)
+            h = leaky_relu02(bn(y, train=train, mask=stats_mask))
+            out = masked_nbr_max(h.astype(dt), nbr_idx, nbr_mask)
+        return out[0] if unbatched else out
+
+
 class DeltaConv(lnn.Module):
     """One DeltaConv block.
 
@@ -253,6 +330,11 @@ class DeltaConv(lnn.Module):
                         name="s_mlp_max")(edge, train=train,
                                           mask=edge_mask)
                 x_max = _aggregate(h, gd.nbr_mask, self.aggr)
+        elif self.depth == 1 and self.aggr == "max":
+            x_max = PointMaxMLP(self.out_channels, dtype=self.dtype,
+                                name="s_mlp_max")(
+                x, gd.nbr_idx, gd.nbr_mask, train=train,
+                stats_mask=point_mask)
         else:
             h = MLP(channels, dtype=self.dtype,
                     name="s_mlp_max")(x, train=train, mask=point_mask)

@@ -26,7 +26,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["gather_max", "gather_minmax", "masked_nbr_max"]
+__all__ = ["gather_max", "gather_minmax", "gather_matmul_minmax",
+           "masked_nbr_max"]
 
 _NEG = -3.0e38  # ~ -inf in f32, safe to negate/compare
 
@@ -421,6 +422,79 @@ def _route_cotangent(win_idx, g, n_out):
 
 
 gather_minmax.defvjp(_gather_minmax_fwd, _gather_minmax_bwd)
+
+
+def _mm_minmax_kernel(idx_ref, mask_ref, x_ref, w_ref, mx_ref, mn_ref,
+                      *, k, n):
+    """Gather-then-matmul min/max: one-hot gathers the INPUT features
+    (width C_in) and applies the layer kernel on the gathered block in
+    VMEM, so the expensive [K*T, N] one-hot contraction runs at C_in
+    lanes instead of C_out — 1.6x fewer MACs for the reference's last
+    conv (128 -> 256). Exact: (x @ W)[idx] == x[idx] @ W operand-for-
+    operand (bf16 inputs, f32 accumulation both ways)."""
+    t = idx_ref.shape[1]
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (t, n), 1)
+    ones = [
+        (idx_ref[0, :, kk][:, None] == col_iota).astype(jnp.bfloat16)
+        for kk in range(k)
+    ]
+    onehot = jnp.concatenate(ones, axis=0)  # [K*T, N]
+    xg = jnp.dot(onehot, x_ref[0],
+                 preferred_element_type=jnp.float32)  # [K*T, C_in]
+    # Gathered bf16 values in an f32 container -> exact round-trip.
+    y = jnp.dot(xg.astype(jnp.bfloat16), w_ref[...],
+                preferred_element_type=jnp.float32)  # [K*T, C_out]
+    c = y.shape[-1]
+    best = jnp.full((t, c), _NEG, jnp.float32)
+    worst = jnp.full((t, c), -_NEG, jnp.float32)
+    for kk in range(k):
+        vk = y[kk * t:(kk + 1) * t, :]
+        ok = mask_ref[0, :, kk][:, None] > 0
+        best = jnp.maximum(best, jnp.where(ok, vk, _NEG))
+        worst = jnp.minimum(worst, jnp.where(ok, vk, -_NEG))
+    mx_ref[0] = best
+    mn_ref[0] = worst
+
+
+def gather_matmul_minmax(x, w, idx, mask, tile=128, interpret=False):
+    """``x [B, N, C_in] bf16, w [C_in, C_out] bf16 -> (max, min)`` of
+    ``(x @ w)[idx]`` over valid neighbors. Forward-only (no VJP) — the
+    eval-mode fast path of the scalar max branch; training routes
+    through :func:`masked_nbr_max`. Rows with no valid neighbor return
+    ``(-3e38, +3e38)`` (callers mask them)."""
+    b, n, c_in = x.shape
+    c_out = w.shape[-1]
+    k = idx.shape[-1]
+    # onehot [K*T, N] bf16 + gathered [K*T, C_in] f32+bf16 + product
+    # [K*T, C_out] f32.
+    tile = fit_tile(tile, k * (2 * n + 6 * c_in + 4 * c_out),
+                    budget=12 * 2**20)
+    idx_p = _pad_to(idx.astype(jnp.int32), tile, 1)
+    mask_p = _pad_to(mask.astype(jnp.int32), tile, 1)
+    n_pad = idx_p.shape[1]
+
+    spec_t = pl.BlockSpec((1, tile, k), lambda ib, it: (ib, it, 0),
+                          memory_space=pltpu.VMEM)
+    spec_o = pl.BlockSpec((1, tile, c_out), lambda ib, it: (ib, it, 0),
+                          memory_space=pltpu.VMEM)
+    mx, mn = pl.pallas_call(
+        functools.partial(_mm_minmax_kernel, k=k, n=n),
+        grid=(b, n_pad // tile),
+        in_specs=[
+            spec_t, spec_t,
+            pl.BlockSpec((1, n, c_in), lambda ib, it: (ib, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_in, c_out), lambda ib, it: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[spec_o, spec_o],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n_pad, c_out), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_pad, c_out), jnp.float32),
+        ],
+        interpret=interpret,
+    )(idx_p, mask_p, x.astype(jnp.bfloat16), w.astype(jnp.bfloat16))
+    return mx[:, :n], mn[:, :n]
 
 
 def masked_nbr_max(h, nbr_idx, nbr_mask):

@@ -301,6 +301,34 @@ def test_densify_bf16_or_packing_matches_f32(rng):
         np.asarray(wd16), np.asarray(wd32.astype(jnp.bfloat16)))
 
 
+def test_gather_matmul_minmax_interpret(rng):
+    """Fused gather-then-matmul min/max == numpy gather of (x @ w)."""
+    from deltaconv_tpu.ops.gather_max import gather_matmul_minmax
+
+    b, n, k, ci, co = 2, 128, 7, 16, 24
+    x = jnp.asarray(rng.standard_normal((b, n, ci)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((ci, co)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    idx = jnp.asarray(rng.integers(0, n, (b, n, k)).astype(np.int32))
+    mask = jnp.asarray(rng.random((b, n, k)) > 0.2)
+    mask = mask.at[:, :, 0].set(True)
+
+    mx, mn = jax.jit(lambda x, w, i, m: gather_matmul_minmax(
+        x, w, i, m, interpret=True))(x, w, idx, mask)
+
+    y = np.asarray(jnp.einsum(
+        "bnc,cd->bnd", x, w, preferred_element_type=jnp.float32))
+    yg = y[np.arange(b)[:, None, None], np.asarray(idx)]  # [B,N,K,Co]
+    mk = np.asarray(mask)[..., None]
+    want_mx = np.where(mk, yg, -3e38).max(axis=2)
+    want_mn = np.where(mk, yg, 3e38).min(axis=2)
+    np.testing.assert_allclose(np.asarray(mx), want_mx, rtol=1e-2,
+                               atol=1e-2)
+    np.testing.assert_allclose(np.asarray(mn), want_mn, rtol=1e-2,
+                               atol=1e-2)
+
+
 def test_knn_topk_quantized_high_recall(rng):
     """The packed-key (bf16-granularity) kNN variant: self in slot 0,
     no duplicate winners, and >= 0.995 recall vs exact top-k (only
