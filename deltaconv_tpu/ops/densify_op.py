@@ -57,10 +57,11 @@ def _fwd_kernel(idx_ref, g1_ref, g2_ref, d1_ref, d2_ref,
     t = idx_ref.shape[1]
     dt = wg_ref.dtype
     col = jax.lax.broadcasted_iota(jnp.int32, (t, n), 1)
+    idx16 = idx_ref[0]
     zero = jnp.zeros((t, n), jnp.float32)
     ag1, ag2, ad1, ad2 = zero, zero, zero, zero
     for kk in range(k):
-        hit = idx_ref[0, :, kk][:, None] == col
+        hit = idx16[:, kk][:, None] == col
         ag1 = ag1 + jnp.where(hit, g1_ref[0, :, kk][:, None], 0.0)
         ag2 = ag2 + jnp.where(hit, g2_ref[0, :, kk][:, None], 0.0)
         ad1 = ad1 + jnp.where(hit, d1_ref[0, :, kk][:, None], 0.0)
@@ -82,6 +83,7 @@ def _fwd_kernel_bf16(idx_ref, g1_ref, g2_ref, d1_ref, d2_ref,
     packing, matching the f32 kernel's final astype."""
     t = idx_ref.shape[1]
     col = jax.lax.broadcasted_iota(jnp.int32, (t, n), 1)
+    idx16 = idx_ref[0]
     # [T, K] packed pairs: g2 in the top 16 bits, g1 in the bottom.
     pg = _round_bf16_bits(g2_ref[0]) | (
         (_round_bf16_bits(g1_ref[0]) >> 16) & jnp.int32(0xFFFF))
@@ -90,7 +92,7 @@ def _fwd_kernel_bf16(idx_ref, g1_ref, g2_ref, d1_ref, d2_ref,
     zero = jnp.zeros((t, n), jnp.int32)
     ag, ad = zero, zero
     for kk in range(k):
-        hit = idx_ref[0, :, kk][:, None] == col
+        hit = idx16[:, kk][:, None] == col
         ag = ag | jnp.where(hit, pg[:, kk][:, None], 0)
         ad = ad | jnp.where(hit, pd[:, kk][:, None], 0)
     # Unpack: bf16 bits in the TOP half of an int32 ARE that value as
@@ -115,12 +117,13 @@ def _bwd_kernel(idx_ref, dwg_ref, dwd_ref,
     dW[t, idx[t, kk]]`` via one-hot compare + lane reduction."""
     t = idx_ref.shape[1]
     col = jax.lax.broadcasted_iota(jnp.int32, (t, n), 1)
+    idx16 = idx_ref[0]
     dwg1 = dwg_ref[0, 0]
     dwg2 = dwg_ref[0, 1]
     dwd1 = dwd_ref[0, 0]
     dwd2 = dwd_ref[0, 1]
     for kk in range(k):
-        hit = idx_ref[0, :, kk][:, None] == col
+        hit = idx16[:, kk][:, None] == col
         dg1_ref[0, :, kk] = jnp.sum(jnp.where(hit, dwg1, 0.0), axis=1)
         dg2_ref[0, :, kk] = jnp.sum(jnp.where(hit, dwg2, 0.0), axis=1)
         dd1_ref[0, :, kk] = jnp.sum(jnp.where(hit, dwd1, 0.0), axis=1)

@@ -73,20 +73,30 @@ def split_hilo(h):
 # -- forward kernel ------------------------------------------------------
 
 
-def _minmax_kernel(idx_ref, mask_ref, hilo_ref, mx_ref, mn_ref,
-                   wmx_ref, wmn_ref, *, k, n, paired):
-    """Same one-hot matmul as ``_fwd_kernel`` but tracks BOTH the max
-    and the min (plus winners) in one pass — the centralized DeltaConv
-    fast path needs both extremes (negative BatchNorm scales flip the
-    monotone nonlinearity, see nn/deltaconv.py)."""
-    t = idx_ref.shape[1]
-    c = hilo_ref.shape[2] // (2 if paired else 1)
+def build_onehot(idx_ref, t, n, k):
+    """k-major one-hot [K*T, N] bf16. Compares stay int32: Mosaic on
+    v5e rejects sub-32-bit vector compares ("Target does not support
+    this comparison" for vector<...xi16>)."""
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (t, n), 1)
+    idx = idx_ref[0]  # [T, K]
     ones = [
-        (idx_ref[0, :, kk][:, None] == col_iota).astype(jnp.bfloat16)
+        (idx[:, kk][:, None] == col_iota).astype(jnp.bfloat16)
         for kk in range(k)
     ]
-    onehot = jnp.concatenate(ones, axis=0)
+    return jnp.concatenate(ones, axis=0)
+
+
+def _minmax_kernel(idx_ref, mask_ref, hilo_ref, mx_ref, mn_ref,
+                   *wrefs, k, n, paired, winners):
+    """Same one-hot matmul as ``_fwd_kernel`` but tracks BOTH the max
+    and the min in one pass — the centralized DeltaConv fast path
+    needs both extremes (negative BatchNorm scales flip the monotone
+    nonlinearity, see nn/deltaconv.py). Winner slots (for the VJP) are
+    computed only when ``winners`` — the primal/eval path skips the
+    two extra select chains."""
+    t = idx_ref.shape[1]
+    c = hilo_ref.shape[2] // (2 if paired else 1)
+    onehot = build_onehot(idx_ref, t, n, k)
     both = jnp.dot(onehot, hilo_ref[0],
                    preferred_element_type=jnp.float32)  # [K*T, 2C|C]
     val = both[:, :c] + both[:, c:] if paired else both
@@ -99,20 +109,25 @@ def _minmax_kernel(idx_ref, mask_ref, hilo_ref, mx_ref, mn_ref,
         ok = mask_ref[0, :, kk][:, None] > 0
         vmax = jnp.where(ok, vk, _NEG)
         vmin = jnp.where(ok, vk, -_NEG)
-        up = vmax > best
-        wbest = jnp.where(up, kk, wbest)
-        best = jnp.where(up, vmax, best)
-        dn = vmin < worst
-        wworst = jnp.where(dn, kk, wworst)
-        worst = jnp.where(dn, vmin, worst)
+        if winners:
+            up = vmax > best
+            wbest = jnp.where(up, kk, wbest)
+            best = jnp.where(up, vmax, best)
+            dn = vmin < worst
+            wworst = jnp.where(dn, kk, wworst)
+            worst = jnp.where(dn, vmin, worst)
+        else:
+            best = jnp.maximum(best, vmax)
+            worst = jnp.minimum(worst, vmin)
     mx_ref[0] = best
     mn_ref[0] = worst
-    wmx_ref[0] = wbest
-    wmn_ref[0] = wworst
+    if winners:
+        wrefs[0][0] = wbest
+        wrefs[1][0] = wworst
 
 
-def _fwd_kernel(idx_ref, mask_ref, hilo_ref, out_ref, win_ref,
-                *, k, n, paired):
+def _fwd_kernel(idx_ref, mask_ref, hilo_ref, out_ref, *wrefs,
+                k, n, paired, winners):
     """One k-major one-hot [K*T, N] feeding ONE bf16 MXU pass.
 
     The feature table is pre-split h = hi + lo with hi = bf16(h),
@@ -122,17 +137,12 @@ def _fwd_kernel(idx_ref, mask_ref, hilo_ref, out_ref, win_ref,
     relative vs 2e-3 for a single bf16 pass). The split MUST be
     guarded by lax.optimization_barrier at the caller: XLA's
     excess-precision pass cancels f32(bf16(h)) -> h and folds lo to
-    zero otherwise.
+    zero otherwise. Winner slots are computed only when ``winners``
+    (the VJP path); the primal/eval path runs a plain max chain.
     """
     t = idx_ref.shape[1]
     c = hilo_ref.shape[2] // (2 if paired else 1)
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (t, n), 1)
-
-    ones = [
-        (idx_ref[0, :, kk][:, None] == col_iota).astype(jnp.bfloat16)
-        for kk in range(k)
-    ]
-    onehot = jnp.concatenate(ones, axis=0)  # [K*T, N], k-major rows
+    onehot = build_onehot(idx_ref, t, n, k)  # [K*T, N], k-major rows
     both = jnp.dot(onehot, hilo_ref[0],
                    preferred_element_type=jnp.float32)  # [K*T, 2C|C]
     val = both[:, :c] + both[:, c:] if paired else both
@@ -143,14 +153,18 @@ def _fwd_kernel(idx_ref, mask_ref, hilo_ref, out_ref, win_ref,
     for kk in range(k):
         vk = val[kk * t:(kk + 1) * t, :]
         vk = jnp.where(mask_ref[0, :, kk][:, None] > 0, vk, _NEG)
-        upd = vk > best
-        winner = jnp.where(upd, kk, winner)
-        best = jnp.where(upd, vk, best)
+        if winners:
+            upd = vk > best
+            winner = jnp.where(upd, kk, winner)
+            best = jnp.where(upd, vk, best)
+        else:
+            best = jnp.maximum(best, vk)
     out_ref[0] = best
-    win_ref[0] = winner
+    if winners:
+        wrefs[0][0] = winner
 
 
-def _pallas_fwd(h, idx, mask, tile=128, interpret=False):
+def _pallas_fwd(h, idx, mask, tile=128, interpret=False, winners=True):
     b, n, c = h.shape
     k = idx.shape[-1]
     # onehot [K*T, N] bf16 + product [K*T, 2C] f32 dominate VMEM.
@@ -163,8 +177,11 @@ def _pallas_fwd(h, idx, mask, tile=128, interpret=False):
     cw = 2 * c if paired else c
 
     grid = (b, n_pad // tile)
-    out, winner = pl.pallas_call(
-        functools.partial(_fwd_kernel, k=k, n=n, paired=paired),
+    spec_o = pl.BlockSpec((1, tile, c), lambda ib, it: (ib, it, 0),
+                          memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_fwd_kernel, k=k, n=n, paired=paired,
+                          winners=winners),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, tile, k), lambda ib, it: (ib, it, 0),
@@ -174,19 +191,15 @@ def _pallas_fwd(h, idx, mask, tile=128, interpret=False):
             pl.BlockSpec((1, n, cw), lambda ib, it: (ib, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, tile, c), lambda ib, it: (ib, it, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, c), lambda ib, it: (ib, it, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, n_pad, c), jnp.float32),
-            jax.ShapeDtypeStruct((b, n_pad, c), jnp.int32),
-        ],
+        out_specs=[spec_o] * (2 if winners else 1),
+        out_shape=[jax.ShapeDtypeStruct((b, n_pad, c), jnp.float32)] + (
+            [jax.ShapeDtypeStruct((b, n_pad, c), jnp.int32)]
+            if winners else []),
         interpret=interpret,
     )(idx_p, mask_p, hilo)
-    return out[:, :n], winner[:, :n]
+    if winners:
+        return outs[0][:, :n], outs[1][:, :n]
+    return outs[0][:, :n], None
 
 
 # -- backward kernel -----------------------------------------------------
@@ -202,12 +215,7 @@ def _bwd_mm_kernel(idx_ref, win1_ref, g1_ref, win2_ref, g2_ref, dh_ref,
     work with the same one-hot the forward builds. Output keeps the
     hi/lo column halves; the caller sums them (exact f32 routing)."""
     t = idx_ref.shape[1]
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (t, n), 1)
-    ones = [
-        (idx_ref[0, :, kk][:, None] == col_iota).astype(jnp.bfloat16)
-        for kk in range(k)
-    ]
-    onehot = jnp.concatenate(ones, axis=0)  # [K*T, N]
+    onehot = build_onehot(idx_ref, t, n, k)  # [K*T, N]
 
     def masked(win_ref, g_ref_, kk):
         return jnp.where(win_ref[0] == kk, g_ref_[0], 0.0)
@@ -299,13 +307,15 @@ def gather_max(h, idx, mask):
     """``[B, N, C], [B, N, K], [B, N, K] -> [B, N, C]`` masked neighbor
     max with single-winner gradients. Rows with no valid neighbor
     return ``-3e38`` (callers mask them)."""
-    out, _ = _fwd(h, idx, mask)
+    # Primal (non-differentiated) path: skip winner tracking — the
+    # select chains cost ~2x the plain max chain on the VPU.
+    out, _ = _fwd(h, idx, mask, winners=False)
     return out
 
 
-def _fwd(h, idx, mask):
+def _fwd(h, idx, mask, winners=True):
     if jax.default_backend() == "tpu":
-        return _pallas_fwd(h, idx, mask)
+        return _pallas_fwd(h, idx, mask, winners=winners)
     return _reference_fwd(h, idx, mask)
 
 
@@ -336,7 +346,8 @@ def _gather_max_bwd(res, g):
 gather_max.defvjp(_gather_max_fwd, _gather_max_bwd)
 
 
-def _pallas_minmax(h, idx, mask, tile=128, interpret=False):
+def _pallas_minmax(h, idx, mask, tile=128, interpret=False,
+                   winners=True):
     b, n, c = h.shape
     k = idx.shape[-1]
     tile = fit_tile(tile, k * (2 * n + 12 * c))
@@ -351,22 +362,21 @@ def _pallas_minmax(h, idx, mask, tile=128, interpret=False):
                           memory_space=pltpu.VMEM)
     spec_o = pl.BlockSpec((1, tile, c), lambda ib, it: (ib, it, 0),
                           memory_space=pltpu.VMEM)
+    f32 = jax.ShapeDtypeStruct((b, n_pad, c), jnp.float32)
+    i32 = jax.ShapeDtypeStruct((b, n_pad, c), jnp.int32)
     outs = pl.pallas_call(
-        functools.partial(_minmax_kernel, k=k, n=n, paired=paired),
+        functools.partial(_minmax_kernel, k=k, n=n, paired=paired,
+                          winners=winners),
         grid=(b, n_pad // tile),
         in_specs=[spec_t, spec_t,
                   pl.BlockSpec((1, n, cw), lambda ib, it: (ib, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=[spec_o, spec_o, spec_o, spec_o],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, n_pad, c), jnp.float32),
-            jax.ShapeDtypeStruct((b, n_pad, c), jnp.float32),
-            jax.ShapeDtypeStruct((b, n_pad, c), jnp.int32),
-            jax.ShapeDtypeStruct((b, n_pad, c), jnp.int32),
-        ],
+        out_specs=[spec_o] * (4 if winners else 2),
+        out_shape=[f32, f32] + ([i32, i32] if winners else []),
         interpret=interpret,
     )(idx_p, mask_p, hilo)
-    return tuple(o[:, :n] for o in outs)
+    outs = tuple(o[:, :n] for o in outs)
+    return outs if winners else outs + (None, None)
 
 
 def _reference_minmax(h, idx, mask):
@@ -383,13 +393,14 @@ def gather_minmax(h, idx, mask, interpret=False):
     """``[B, N, C], [B, N, K], [B, N, K] -> (max, min)`` over valid
     neighbors in ONE fused pass, single-winner gradients for each.
     Rows with no valid neighbor return ``(-3e38, 3e38)``."""
-    out = _minmax_fwd_dispatch(h, idx, mask, interpret)
+    out = _minmax_fwd_dispatch(h, idx, mask, interpret, winners=False)
     return out[0], out[1]
 
 
-def _minmax_fwd_dispatch(h, idx, mask, interpret):
+def _minmax_fwd_dispatch(h, idx, mask, interpret, winners=True):
     if jax.default_backend() == "tpu" or interpret:
-        return _pallas_minmax(h, idx, mask, interpret=interpret)
+        return _pallas_minmax(h, idx, mask, interpret=interpret,
+                              winners=winners)
     return _reference_minmax(h, idx, mask)
 
 
@@ -433,12 +444,7 @@ def _mm_minmax_kernel(idx_ref, mask_ref, x_ref, w_ref, mx_ref, mn_ref,
     conv (128 -> 256). Exact: (x @ W)[idx] == x[idx] @ W operand-for-
     operand (bf16 inputs, f32 accumulation both ways)."""
     t = idx_ref.shape[1]
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (t, n), 1)
-    ones = [
-        (idx_ref[0, :, kk][:, None] == col_iota).astype(jnp.bfloat16)
-        for kk in range(k)
-    ]
-    onehot = jnp.concatenate(ones, axis=0)  # [K*T, N]
+    onehot = build_onehot(idx_ref, t, n, k)  # [K*T, N]
     xg = jnp.dot(onehot, x_ref[0],
                  preferred_element_type=jnp.float32)  # [K*T, C_in]
     # Gathered bf16 values in an f32 container -> exact round-trip.

@@ -1,6 +1,6 @@
 """Fused neighbor-table gather (Pallas).
 
-``gather_rows(table, idx)``: ``[B, N, C], [B, N, K] -> [B, K, N, C]``
+``gather_rows(table, idx)``: ``[B, N, C], [B, N, K] -> [B, C, K, N]``
 exact row gather via one-hot MXU matmuls — XLA's native gather on TPU
 runs ~9 GB/s (~80x below HBM), which made the ``[B, N, K, 9]``
 neighbor-table fetch the single most expensive stage of the fused
@@ -9,9 +9,12 @@ operator build (~4.8 ms of an ~8 ms build at B=32, N=1024, K=20).
 Same recipe as :mod:`.gather_max`: the table is split h = hi + lo
 (both bf16) and stacked on the contraction axis, so ONE bf16 dot per
 tile reconstructs the rows exactly in the f32 accumulator. The output
-is written k-major (``[B, K, N, C]``) because the kernel's row blocks
-are k-major; callers that want ``[B, N, K, C]`` transpose outside
-(cheap XLA transpose vs unsupported in-kernel layout moves).
+is COMPONENT-major (``[B, C, K, N]``): the sole consumer (the fused
+WLS build) does all its math on per-component ``[B, K, N]`` planes
+with points on the 128 lanes, and producing that layout directly in
+the kernel (one small in-VMEM transpose per tile) removes two
+full-tensor XLA layout copies (2 x 0.45 ms at B=32, N=1024) that a
+``[B, K, N, C]`` output forced on the consumer side.
 
 Gradients flow to ``table`` (the one-hot contraction is linear): the
 VJP is a segment-sum over edges, expressed as the TRANSPOSED one-hot
@@ -26,6 +29,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from .gather_max import build_onehot
 
 __all__ = ["gather_rows"]
 
@@ -42,16 +47,13 @@ def _pad_to(x, multiple, axis):
 def _fwd_kernel(idx_ref, hilo_ref, out_ref, *, k, n):
     t = idx_ref.shape[1]
     c = hilo_ref.shape[2] // 2
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (t, n), 1)
-    ones = [
-        (idx_ref[0, :, kk][:, None] == col_iota).astype(jnp.bfloat16)
-        for kk in range(k)
-    ]
-    onehot = jnp.concatenate(ones, axis=0)  # [K*T, N]
+    onehot = build_onehot(idx_ref, t, n, k)  # [K*T, N]
     both = jnp.dot(onehot, hilo_ref[0],
                    preferred_element_type=jnp.float32)  # [K*T, 2C]
     val = both[:, :c] + both[:, c:]
-    out_ref[0] = val.reshape(k, t, c)
+    # Component-major output: one small [K*T, C] -> [C, K*T] transpose
+    # in VMEM; edge e = kk*t + tt splits back into (kk, tt).
+    out_ref[0] = val.T.reshape(c, k, t)
 
 
 def _bwd_kernel(idx_ref, g_ref, dt_ref, *, k, n):
@@ -59,14 +61,9 @@ def _bwd_kernel(idx_ref, g_ref, dt_ref, *, k, n):
     g[kk, t, c] — the transposed one-hot contraction, accumulated over
     the point-tile grid axis."""
     t = idx_ref.shape[1]
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (t, n), 1)
-    ones = [
-        (idx_ref[0, :, kk][:, None] == col_iota).astype(jnp.bfloat16)
-        for kk in range(k)
-    ]
-    onehot = jnp.concatenate(ones, axis=0)  # [K*T, N]
-    g = g_ref[0]  # [K, T, C]
-    gf = g.reshape(k * t, g.shape[-1])
+    onehot = build_onehot(idx_ref, t, n, k)  # [K*T, N]
+    g = g_ref[0]  # [C, K, T] (component-major cotangent)
+    gf = g.reshape(g.shape[0], k * t).T  # [K*T, C]
     # Exact transposed matmul: split the f32 cotangent hi/lo so the
     # bf16 MXU pass loses nothing (one-hot entries are exact in bf16).
     # No optimization_barrier here — Mosaic cannot lower it, and
@@ -86,10 +83,10 @@ def _bwd_kernel(idx_ref, g_ref, dt_ref, *, k, n):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def gather_rows(table, idx, tile=128, interpret=False, pad_cols=False):
-    """``table [B, N, C], idx [B, N, K] -> [B, K, N, C]`` exact gather
-    (``out[b, kk, i] = table[b, idx[b, i, kk]]``), differentiable in
-    ``table``. With ``pad_cols=True`` the output keeps C padded up to
-    a multiple of 8 (zero columns) — avoids a full-tensor slice copy
+    """``table [B, N, C], idx [B, N, K] -> [B, C, K, N]`` exact gather
+    (``out[b, c, kk, i] = table[b, idx[b, i, kk], c]``), differentiable
+    in ``table``. With ``pad_cols=True`` the output keeps C padded up
+    to a multiple of 8 (zero planes) — avoids a full-tensor slice copy
     when the caller indexes components individually."""
     return _fwd(table, idx, tile, interpret, pad_cols)
 
@@ -120,16 +117,16 @@ def _fwd(table, idx, tile, interpret, pad_cols=False):
             pl.BlockSpec((1, n, 2 * c), lambda ib, it: (ib, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, k, tile, c), lambda ib, it: (ib, 0, it, 0),
+        out_specs=pl.BlockSpec((1, c, k, tile), lambda ib, it: (ib, 0, 0, it),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, k, n_pad, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, c, k, n_pad), jnp.float32),
         interpret=interpret,
     )(idx_p, hilo)
-    # Keep the padded columns: slicing them off here would force a
-    # copy of the whole [B, K, N, C] block; callers index components
-    # individually after their own transpose anyway.
-    out = out[:, :, :n]
-    return out if pad_cols else out[..., :c_in]
+    # Keep the padded component planes: slicing them off here would
+    # force a copy of the whole [B, C, K, N] block; callers index
+    # components individually anyway.
+    out = out[..., :n]
+    return out if pad_cols else out[:, :c_in]
 
 
 def _gather_rows_fwd(table, idx, tile, interpret, pad_cols):
@@ -142,12 +139,12 @@ def _gather_rows_bwd(tile, interpret, pad_cols, res, g):
 
     idx, tshape, dtype_carrier = res
     b, n, c_in = tshape
-    c = g.shape[-1]
+    c = g.shape[1]
     k = idx.shape[-1]
     tile = fit_tile(tile, k * (2 * n + 12 * c), fixed_bytes=n * 4 * c)
     idx_p = _pad_to(idx.astype(jnp.int32), tile, 1)
     n_pad = idx_p.shape[1]
-    g_p = _pad_to(g.astype(jnp.float32), tile, 2)
+    g_p = _pad_to(g.astype(jnp.float32), tile, 3)
 
     dt = pl.pallas_call(
         functools.partial(_bwd_kernel, k=k, n=n),
@@ -155,7 +152,7 @@ def _gather_rows_bwd(tile, interpret, pad_cols, res, g):
         in_specs=[
             pl.BlockSpec((1, tile, k), lambda ib, it: (ib, it, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k, tile, c), lambda ib, it: (ib, 0, it, 0),
+            pl.BlockSpec((1, c, k, tile), lambda ib, it: (ib, 0, 0, it),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, n, c), lambda ib, it: (ib, 0, 0),

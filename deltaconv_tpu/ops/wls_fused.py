@@ -257,13 +257,13 @@ def build_grad_div_fused(pos, normal, x_basis, y_basis, nbr_idx, nbr_mask,
     # matmul (ops/gather_rows.py): XLA's native gather made this the
     # most expensive stage of the build (~9 GB/s on TPU).
     table = jnp.concatenate([pos, x_basis, y_basis], axis=-1)  # [B, N, 9]
-    tab_g = gather_rows(table, nbr_idx, 128, interpret,
-                        True)  # [B, K, N, 16] (pad_cols)
-    # Single-plane extractions [B, K, N]: every elementwise op below
-    # runs with points on the 128 lanes. (Keeping the math on
-    # [B, K, N, 3] vectors puts the 3-wide component axis on lanes —
-    # 2% VPU utilization, measured 3x the cost of the gather itself.)
-    comp = jnp.moveaxis(tab_g, -1, 1)  # [B, 16, K, N]
+    # Component-major gather [B, 16, K, N] (pad_cols): every
+    # elementwise op below runs on [B, K, N] planes with points on the
+    # 128 lanes. (Keeping the math on [B, K, N, 3] vectors puts the
+    # 3-wide component axis on lanes — 2% VPU utilization, measured 3x
+    # the cost of the gather itself; and gathering k-major
+    # [B, K, N, C] forced two 0.45 ms XLA layout copies here.)
+    comp = gather_rows(table, nbr_idx, 128, interpret, True)
     gx, gy, gz = comp[:, 0], comp[:, 1], comp[:, 2]  # neighbor pos
     xgx, xgy, xgz = comp[:, 3], comp[:, 4], comp[:, 5]  # neighbor xb
     ygx, ygy, ygz = comp[:, 6], comp[:, 7], comp[:, 8]  # neighbor yb

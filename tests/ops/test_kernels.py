@@ -163,7 +163,7 @@ def test_gather_backwards_exact_on_tpu(rng):
     table = jnp.asarray(rng.random((b, n, c)).astype(np.float32))
     idx = jnp.asarray(rng.integers(0, n, (b, n, k)).astype(np.int32))
     mask = jnp.ones((b, n, k), bool)
-    ct = jnp.asarray(rng.random((b, k, n, c)).astype(np.float32))
+    ct = jnp.asarray(rng.random((b, c, k, n)).astype(np.float32))
 
     def loss_rows(t):
         return jnp.sum(gather_rows(t, idx) * ct)
@@ -175,7 +175,7 @@ def test_gather_backwards_exact_on_tpu(rng):
     for bi in range(b):
         for ni in range(n):
             for kk in range(k):
-                acc[bi, idxn[bi, ni, kk]] += ctn[bi, kk, ni]
+                acc[bi, idxn[bi, ni, kk]] += ctn[bi, :, kk, ni]
     want = acc.astype(np.float32)
     np.testing.assert_allclose(g, want, atol=1e-4, rtol=1e-5)
 
@@ -299,6 +299,25 @@ def test_densify_bf16_or_packing_matches_f32(rng):
         np.asarray(wg16), np.asarray(wg32.astype(jnp.bfloat16)))
     np.testing.assert_array_equal(
         np.asarray(wd16), np.asarray(wd32.astype(jnp.bfloat16)))
+
+
+def test_gather_rows_component_major_interpret(rng):
+    """gather_rows returns [B, C, K, N] with out[b, c, kk, i] ==
+    table[b, idx[b, i, kk], c] to two-term-bf16 precision (~2^-16
+    relative)."""
+    from deltaconv_tpu.ops.gather_rows import gather_rows
+
+    b, n, k, c = 2, 192, 9, 11
+    table = jnp.asarray(rng.standard_normal((b, n, c)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, n, (b, n, k)).astype(np.int32))
+
+    out = jax.jit(lambda t, i: gather_rows(t, i, 128, True))(table, idx)
+    assert out.shape == (b, c, k, n)
+    tn, idxn = np.asarray(table), np.asarray(idx)
+    want = tn[np.arange(b)[:, None, None], idxn]  # [B, N, K, C]
+    want = np.transpose(want, (0, 3, 2, 1))
+    np.testing.assert_allclose(np.asarray(out), want, rtol=3e-5,
+                               atol=1e-5)
 
 
 def test_gather_matmul_minmax_interpret(rng):
