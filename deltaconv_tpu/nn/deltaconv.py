@@ -177,7 +177,8 @@ class EdgeMaxMLP(lnn.Module):
                       name="lin0")(x)
         y = y.astype(dt)
         # bf16 y runs the gather kernels single-pass (half the FLOPs).
-        mx, mn = gather_minmax(y, nbr_idx, nbr_mask)
+        mx, mn = gather_minmax(y, nbr_idx, nbr_mask,
+                               self_slot0=True)
         y = y.astype(jnp.float32)
         hmax = mx - y
         hmin = mn - y
@@ -265,7 +266,8 @@ class PointMaxMLP(lnn.Module):
                  and pad128(x.shape[-1]) < pad128(self.out_channels))
         if fused:
             mx, mn = gather_matmul_minmax(x.astype(dt), w.astype(dt),
-                                          nbr_idx, nbr_mask)
+                                          nbr_idx, nbr_mask,
+                                          self_slot0=True)
             # ONE BatchNorm call on the stacked pair (a second call
             # would auto-create a second lnn.BatchNorm under the
             # wrapper); eval BN is an elementwise per-channel affine,
@@ -277,7 +279,8 @@ class PointMaxMLP(lnn.Module):
         else:
             y = jnp.dot(x.astype(dt), w.astype(dt))  # == Dense(dtype=dt)
             h = leaky_relu02(bn(y, train=train, mask=stats_mask))
-            out = masked_nbr_max(h.astype(dt), nbr_idx, nbr_mask)
+            out = masked_nbr_max(h.astype(dt), nbr_idx, nbr_mask,
+                                 self_slot0=True)
         return out[0] if unbatched else out
 
 
@@ -343,7 +346,8 @@ class DeltaConv(lnn.Module):
                 # reference XLA path elsewhere.
                 from ..ops.gather_max import masked_nbr_max
 
-                x_max = masked_nbr_max(h, gd.nbr_idx, gd.nbr_mask)
+                x_max = masked_nbr_max(h, gd.nbr_idx, gd.nbr_mask,
+                                       self_slot0=True)
             else:
                 h = gather_neighbors(h, gd.nbr_idx)
                 x_max = _aggregate(h, gd.nbr_mask, self.aggr)

@@ -73,39 +73,55 @@ def split_hilo(h):
 # -- forward kernel ------------------------------------------------------
 
 
-def build_onehot(idx_ref, t, n, k):
-    """k-major one-hot [K*T, N] bf16. Compares stay int32: Mosaic on
-    v5e rejects sub-32-bit vector compares ("Target does not support
-    this comparison" for vector<...xi16>)."""
+def build_onehot(idx_ref, t, n, k, k0=0):
+    """k-major one-hot [(K-k0)*T, N] bf16 for slots ``k0..k-1``.
+    Compares stay int32: Mosaic on v5e rejects sub-32-bit vector
+    compares ("Target does not support this comparison" for
+    vector<...xi16>). ``k0=1`` skips the self slot (callers that
+    guarantee self-in-slot-0 read their own rows directly — one fewer
+    [T, N] compare+select pass per tile)."""
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (t, n), 1)
     idx = idx_ref[0]  # [T, K]
     ones = [
         (idx[:, kk][:, None] == col_iota).astype(jnp.bfloat16)
-        for kk in range(k)
+        for kk in range(k0, k)
     ]
     return jnp.concatenate(ones, axis=0)
 
 
+def _self_rows(table_ref, t):
+    """The tile's own rows of the (whole-cloud) feature table: the
+    exact gather of the self slot when ``idx[i, 0] == i``."""
+    t0 = pl.program_id(1) * t
+    return table_ref[0, pl.ds(t0, t), :]
+
+
 def _minmax_kernel(idx_ref, mask_ref, hilo_ref, mx_ref, mn_ref,
-                   *wrefs, k, n, paired, winners):
+                   *wrefs, k, n, paired, winners, self0=False):
     """Same one-hot matmul as ``_fwd_kernel`` but tracks BOTH the max
     and the min in one pass — the centralized DeltaConv fast path
     needs both extremes (negative BatchNorm scales flip the monotone
     nonlinearity, see nn/deltaconv.py). Winner slots (for the VJP) are
     computed only when ``winners`` — the primal/eval path skips the
-    two extra select chains."""
+    two extra select chains. ``self0`` reads slot 0 directly."""
     t = idx_ref.shape[1]
     c = hilo_ref.shape[2] // (2 if paired else 1)
-    onehot = build_onehot(idx_ref, t, n, k)
+    k0 = 1 if self0 else 0
+    onehot = build_onehot(idx_ref, t, n, k, k0)
     both = jnp.dot(onehot, hilo_ref[0],
-                   preferred_element_type=jnp.float32)  # [K*T, 2C|C]
+                   preferred_element_type=jnp.float32)
     val = both[:, :c] + both[:, c:] if paired else both
     best = jnp.full((t, c), _NEG, jnp.float32)
     worst = jnp.full((t, c), -_NEG, jnp.float32)
     wbest = jnp.zeros((t, c), jnp.int32)
     wworst = jnp.zeros((t, c), jnp.int32)
     for kk in range(k):
-        vk = val[kk * t:(kk + 1) * t, :]
+        if self0 and kk == 0:
+            srows = _self_rows(hilo_ref, t).astype(jnp.float32)
+            vk = srows[:, :c] + srows[:, c:] if paired else srows
+        else:
+            i0 = (kk - k0) * t
+            vk = val[i0:i0 + t, :]
         ok = mask_ref[0, :, kk][:, None] > 0
         vmax = jnp.where(ok, vk, _NEG)
         vmin = jnp.where(ok, vk, -_NEG)
@@ -119,15 +135,15 @@ def _minmax_kernel(idx_ref, mask_ref, hilo_ref, mx_ref, mn_ref,
         else:
             best = jnp.maximum(best, vmax)
             worst = jnp.minimum(worst, vmin)
-    mx_ref[0] = best
-    mn_ref[0] = worst
+    mx_ref[0] = best.astype(mx_ref.dtype)
+    mn_ref[0] = worst.astype(mn_ref.dtype)
     if winners:
         wrefs[0][0] = wbest
         wrefs[1][0] = wworst
 
 
 def _fwd_kernel(idx_ref, mask_ref, hilo_ref, out_ref, *wrefs,
-                k, n, paired, winners):
+                k, n, paired, winners, self0=False):
     """One k-major one-hot [K*T, N] feeding ONE bf16 MXU pass.
 
     The feature table is pre-split h = hi + lo with hi = bf16(h),
@@ -142,16 +158,22 @@ def _fwd_kernel(idx_ref, mask_ref, hilo_ref, out_ref, *wrefs,
     """
     t = idx_ref.shape[1]
     c = hilo_ref.shape[2] // (2 if paired else 1)
-    onehot = build_onehot(idx_ref, t, n, k)  # [K*T, N], k-major rows
+    k0 = 1 if self0 else 0
+    onehot = build_onehot(idx_ref, t, n, k, k0)
     both = jnp.dot(onehot, hilo_ref[0],
-                   preferred_element_type=jnp.float32)  # [K*T, 2C|C]
+                   preferred_element_type=jnp.float32)
     val = both[:, :c] + both[:, c:] if paired else both
     # Static unrolled max/argmax over the K row-blocks (Mosaic handles
     # sliced sublane reads better than leading-axis reductions).
     best = jnp.full((t, c), _NEG, jnp.float32)
     winner = jnp.zeros((t, c), jnp.int32)
     for kk in range(k):
-        vk = val[kk * t:(kk + 1) * t, :]
+        if self0 and kk == 0:
+            srows = _self_rows(hilo_ref, t).astype(jnp.float32)
+            vk = srows[:, :c] + srows[:, c:] if paired else srows
+        else:
+            i0 = (kk - k0) * t
+            vk = val[i0:i0 + t, :]
         vk = jnp.where(mask_ref[0, :, kk][:, None] > 0, vk, _NEG)
         if winners:
             upd = vk > best
@@ -159,12 +181,13 @@ def _fwd_kernel(idx_ref, mask_ref, hilo_ref, out_ref, *wrefs,
             best = jnp.where(upd, vk, best)
         else:
             best = jnp.maximum(best, vk)
-    out_ref[0] = best
+    out_ref[0] = best.astype(out_ref.dtype)
     if winners:
         wrefs[0][0] = winner
 
 
-def _pallas_fwd(h, idx, mask, tile=128, interpret=False, winners=True):
+def _pallas_fwd(h, idx, mask, tile=128, interpret=False, winners=True,
+                self0=False):
     b, n, c = h.shape
     k = idx.shape[-1]
     # onehot [K*T, N] bf16 + product [K*T, 2C] f32 dominate VMEM.
@@ -172,16 +195,24 @@ def _pallas_fwd(h, idx, mask, tile=128, interpret=False, winners=True):
     idx_p = _pad_to(idx.astype(jnp.int32), tile, 1)
     mask_p = _pad_to(mask.astype(jnp.int32), tile, 1)
     n_pad = idx_p.shape[1]
+    # Self-row reads address table rows [t0, t0+tile); only safe when
+    # no padded tiles exist.
+    self0 = self0 and n_pad == n and not winners
 
     hilo, paired = split_hilo(h)
     cw = 2 * c if paired else c
+    # Eval path: write the output in the compute dtype directly
+    # (halves the output HBM traffic for the bf16 pipeline). The VJP
+    # path stays f32 (cotangent routing compares exact values).
+    out_dt = h.dtype if (not winners and h.dtype == jnp.bfloat16) \
+        else jnp.float32
 
     grid = (b, n_pad // tile)
     spec_o = pl.BlockSpec((1, tile, c), lambda ib, it: (ib, it, 0),
                           memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         functools.partial(_fwd_kernel, k=k, n=n, paired=paired,
-                          winners=winners),
+                          winners=winners, self0=self0),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, tile, k), lambda ib, it: (ib, it, 0),
@@ -192,7 +223,7 @@ def _pallas_fwd(h, idx, mask, tile=128, interpret=False, winners=True):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[spec_o] * (2 if winners else 1),
-        out_shape=[jax.ShapeDtypeStruct((b, n_pad, c), jnp.float32)] + (
+        out_shape=[jax.ShapeDtypeStruct((b, n_pad, c), out_dt)] + (
             [jax.ShapeDtypeStruct((b, n_pad, c), jnp.int32)]
             if winners else []),
         interpret=interpret,
@@ -302,24 +333,26 @@ def _win_to_idx(idx, winner):
 # -- public op ------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=())
-def gather_max(h, idx, mask):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def gather_max(h, idx, mask, self_slot0=False):
     """``[B, N, C], [B, N, K], [B, N, K] -> [B, N, C]`` masked neighbor
     max with single-winner gradients. Rows with no valid neighbor
-    return ``-3e38`` (callers mask them)."""
+    return ``-3e38`` (callers mask them). ``self_slot0`` promises
+    ``idx[..., 0] == arange(N)`` (the kNN self-loop convention) — the
+    eval kernel then reads its own rows instead of comparing slot 0."""
     # Primal (non-differentiated) path: skip winner tracking — the
     # select chains cost ~2x the plain max chain on the VPU.
-    out, _ = _fwd(h, idx, mask, winners=False)
+    out, _ = _fwd(h, idx, mask, winners=False, self0=self_slot0)
     return out
 
 
-def _fwd(h, idx, mask, winners=True):
+def _fwd(h, idx, mask, winners=True, self0=False):
     if jax.default_backend() == "tpu":
-        return _pallas_fwd(h, idx, mask, winners=winners)
+        return _pallas_fwd(h, idx, mask, winners=winners, self0=self0)
     return _reference_fwd(h, idx, mask)
 
 
-def _gather_max_fwd(h, idx, mask):
+def _gather_max_fwd(h, idx, mask, self_slot0):
     out, winner = _fwd(h, idx, mask)
     # Residuals keep the K-SLOT winner (not the resolved point index):
     # the matmul backward routes by slot, and resolving indices cost a
@@ -327,7 +360,7 @@ def _gather_max_fwd(h, idx, mask):
     return out, (idx, winner, h.shape[1], jnp.zeros((0,), h.dtype))
 
 
-def _gather_max_bwd(res, g):
+def _gather_max_bwd(self_slot0, res, g):
     idx, winner, n_out, dtype_carrier = res
     h_dtype = dtype_carrier.dtype
     g = g.astype(jnp.float32)
@@ -347,32 +380,35 @@ gather_max.defvjp(_gather_max_fwd, _gather_max_bwd)
 
 
 def _pallas_minmax(h, idx, mask, tile=128, interpret=False,
-                   winners=True):
+                   winners=True, self0=False):
     b, n, c = h.shape
     k = idx.shape[-1]
     tile = fit_tile(tile, k * (2 * n + 12 * c))
     idx_p = _pad_to(idx.astype(jnp.int32), tile, 1)
     mask_p = _pad_to(mask.astype(jnp.int32), tile, 1)
     n_pad = idx_p.shape[1]
+    self0 = self0 and n_pad == n and not winners
 
     hilo, paired = split_hilo(h)
     cw = 2 * c if paired else c
+    out_dt = h.dtype if (not winners and h.dtype == jnp.bfloat16) \
+        else jnp.float32
 
     spec_t = pl.BlockSpec((1, tile, k), lambda ib, it: (ib, it, 0),
                           memory_space=pltpu.VMEM)
     spec_o = pl.BlockSpec((1, tile, c), lambda ib, it: (ib, it, 0),
                           memory_space=pltpu.VMEM)
-    f32 = jax.ShapeDtypeStruct((b, n_pad, c), jnp.float32)
+    fdt = jax.ShapeDtypeStruct((b, n_pad, c), out_dt)
     i32 = jax.ShapeDtypeStruct((b, n_pad, c), jnp.int32)
     outs = pl.pallas_call(
         functools.partial(_minmax_kernel, k=k, n=n, paired=paired,
-                          winners=winners),
+                          winners=winners, self0=self0),
         grid=(b, n_pad // tile),
         in_specs=[spec_t, spec_t,
                   pl.BlockSpec((1, n, cw), lambda ib, it: (ib, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=[spec_o] * (4 if winners else 2),
-        out_shape=[f32, f32] + ([i32, i32] if winners else []),
+        out_shape=[fdt, fdt] + ([i32, i32] if winners else []),
         interpret=interpret,
     )(idx_p, mask_p, hilo)
     outs = tuple(o[:, :n] for o in outs)
@@ -388,29 +424,31 @@ def _reference_minmax(h, idx, mask):
             jnp.argmin(mn, axis=-2).astype(jnp.int32))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def gather_minmax(h, idx, mask, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def gather_minmax(h, idx, mask, interpret=False, self_slot0=False):
     """``[B, N, C], [B, N, K], [B, N, K] -> (max, min)`` over valid
     neighbors in ONE fused pass, single-winner gradients for each.
     Rows with no valid neighbor return ``(-3e38, 3e38)``."""
-    out = _minmax_fwd_dispatch(h, idx, mask, interpret, winners=False)
+    out = _minmax_fwd_dispatch(h, idx, mask, interpret, winners=False,
+                               self0=self_slot0)
     return out[0], out[1]
 
 
-def _minmax_fwd_dispatch(h, idx, mask, interpret, winners=True):
+def _minmax_fwd_dispatch(h, idx, mask, interpret, winners=True,
+                         self0=False):
     if jax.default_backend() == "tpu" or interpret:
         return _pallas_minmax(h, idx, mask, interpret=interpret,
-                              winners=winners)
+                              winners=winners, self0=self0)
     return _reference_minmax(h, idx, mask)
 
 
-def _gather_minmax_fwd(h, idx, mask, interpret):
+def _gather_minmax_fwd(h, idx, mask, interpret, self_slot0):
     mx, mn, wmx, wmn = _minmax_fwd_dispatch(h, idx, mask, interpret)
     res = (idx, wmx, wmn, h.shape[1], jnp.zeros((0,), h.dtype))
     return (mx, mn), res
 
 
-def _gather_minmax_bwd(interpret, res, cts):
+def _gather_minmax_bwd(interpret, self_slot0, res, cts):
     idx, wmx, wmn, n_out, dtype_carrier = res
     gmx, gmn = cts
     gmx = gmx.astype(jnp.float32)
@@ -436,7 +474,7 @@ gather_minmax.defvjp(_gather_minmax_fwd, _gather_minmax_bwd)
 
 
 def _mm_minmax_kernel(idx_ref, mask_ref, x_ref, w_ref, mx_ref, mn_ref,
-                      *, k, n):
+                      *, k, n, self0=False):
     """Gather-then-matmul min/max: one-hot gathers the INPUT features
     (width C_in) and applies the layer kernel on the gathered block in
     VMEM, so the expensive [K*T, N] one-hot contraction runs at C_in
@@ -444,7 +482,8 @@ def _mm_minmax_kernel(idx_ref, mask_ref, x_ref, w_ref, mx_ref, mn_ref,
     conv (128 -> 256). Exact: (x @ W)[idx] == x[idx] @ W operand-for-
     operand (bf16 inputs, f32 accumulation both ways)."""
     t = idx_ref.shape[1]
-    onehot = build_onehot(idx_ref, t, n, k)  # [K*T, N]
+    k0 = 1 if self0 else 0
+    onehot = build_onehot(idx_ref, t, n, k, k0)
     xg = jnp.dot(onehot, x_ref[0],
                  preferred_element_type=jnp.float32)  # [K*T, C_in]
     # Gathered bf16 values in an f32 container -> exact round-trip.
@@ -454,15 +493,21 @@ def _mm_minmax_kernel(idx_ref, mask_ref, x_ref, w_ref, mx_ref, mn_ref,
     best = jnp.full((t, c), _NEG, jnp.float32)
     worst = jnp.full((t, c), -_NEG, jnp.float32)
     for kk in range(k):
-        vk = y[kk * t:(kk + 1) * t, :]
+        if self0 and kk == 0:
+            vk = jnp.dot(_self_rows(x_ref, t), w_ref[...],
+                         preferred_element_type=jnp.float32)
+        else:
+            i0 = (kk - k0) * t
+            vk = y[i0:i0 + t, :]
         ok = mask_ref[0, :, kk][:, None] > 0
         best = jnp.maximum(best, jnp.where(ok, vk, _NEG))
         worst = jnp.minimum(worst, jnp.where(ok, vk, -_NEG))
-    mx_ref[0] = best
-    mn_ref[0] = worst
+    mx_ref[0] = best.astype(mx_ref.dtype)
+    mn_ref[0] = worst.astype(mn_ref.dtype)
 
 
-def gather_matmul_minmax(x, w, idx, mask, tile=128, interpret=False):
+def gather_matmul_minmax(x, w, idx, mask, tile=128, interpret=False,
+                         self_slot0=False):
     """``x [B, N, C_in] bf16, w [C_in, C_out] bf16 -> (max, min)`` of
     ``(x @ w)[idx]`` over valid neighbors. Forward-only (no VJP) — the
     eval-mode fast path of the scalar max branch; training routes
@@ -478,13 +523,15 @@ def gather_matmul_minmax(x, w, idx, mask, tile=128, interpret=False):
     idx_p = _pad_to(idx.astype(jnp.int32), tile, 1)
     mask_p = _pad_to(mask.astype(jnp.int32), tile, 1)
     n_pad = idx_p.shape[1]
+    self0 = self_slot0 and n_pad == n
 
     spec_t = pl.BlockSpec((1, tile, k), lambda ib, it: (ib, it, 0),
                           memory_space=pltpu.VMEM)
     spec_o = pl.BlockSpec((1, tile, c_out), lambda ib, it: (ib, it, 0),
                           memory_space=pltpu.VMEM)
+    odt = jax.ShapeDtypeStruct((b, n_pad, c_out), jnp.bfloat16)
     mx, mn = pl.pallas_call(
-        functools.partial(_mm_minmax_kernel, k=k, n=n),
+        functools.partial(_mm_minmax_kernel, k=k, n=n, self0=self0),
         grid=(b, n_pad // tile),
         in_specs=[
             spec_t, spec_t,
@@ -494,23 +541,20 @@ def gather_matmul_minmax(x, w, idx, mask, tile=128, interpret=False):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[spec_o, spec_o],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, n_pad, c_out), jnp.float32),
-            jax.ShapeDtypeStruct((b, n_pad, c_out), jnp.float32),
-        ],
+        out_shape=[odt, odt],
         interpret=interpret,
     )(idx_p, mask_p, x.astype(jnp.bfloat16), w.astype(jnp.bfloat16))
     return mx[:, :n], mn[:, :n]
 
 
-def masked_nbr_max(h, nbr_idx, nbr_mask):
+def masked_nbr_max(h, nbr_idx, nbr_mask, self_slot0=False):
     """Convenience wrapper over :func:`gather_max`: accepts unbatched
     ``[N, C]`` or batched ``[B, N, C]`` features, replaces the -inf of
     all-masked rows with 0 (padded points)."""
     unbatched = h.ndim == 2
     if unbatched:
         h, nbr_idx, nbr_mask = h[None], nbr_idx[None], nbr_mask[None]
-    out = gather_max(h, nbr_idx, nbr_mask)
+    out = gather_max(h, nbr_idx, nbr_mask, self_slot0)
     any_valid = jnp.any(nbr_mask, axis=-1)[..., None]
     out = jnp.where(any_valid, out, 0.0).astype(h.dtype)
     return out[0] if unbatched else out

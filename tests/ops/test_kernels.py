@@ -348,6 +348,34 @@ def test_gather_matmul_minmax_interpret(rng):
                                atol=1e-2)
 
 
+def test_gather_minmax_self_slot0_interpret(rng):
+    """The self-slot shortcut (read own rows instead of comparing
+    slot 0) is exact when idx[..., 0] == arange(N)."""
+    from deltaconv_tpu.ops.gather_max import gather_minmax
+
+    b, n, k, c = 2, 256, 9, 16
+    h = jnp.asarray(rng.standard_normal((b, n, c)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    idx = jnp.asarray(rng.integers(0, n, (b, n, k)).astype(np.int32))
+    idx = idx.at[:, :, 0].set(jnp.arange(n)[None])
+    mask = jnp.asarray(rng.random((b, n, k)) > 0.2)
+    mask = mask.at[:, :, 0].set(True)
+
+    mx, mn = jax.jit(lambda h: gather_minmax(h, idx, mask, True,
+                                             True))(h)
+    g = np.asarray(h.astype(jnp.float32))[
+        np.arange(b)[:, None, None], np.asarray(idx)]
+    mk = np.asarray(mask)[..., None]
+    np.testing.assert_array_equal(
+        np.asarray(mx.astype(jnp.float32)),
+        np.where(mk, g, -3e38).max(axis=2).astype(
+            np.float32).astype(jnp.bfloat16).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(mn.astype(jnp.float32)),
+        np.where(mk, g, 3e38).min(axis=2).astype(
+            np.float32).astype(jnp.bfloat16).astype(np.float32))
+
+
 def test_knn_topk_quantized_high_recall(rng):
     """The packed-key (bf16-granularity) kNN variant: self in slot 0,
     no duplicate winners, and >= 0.995 recall vs exact top-k (only
