@@ -45,12 +45,23 @@ class DenseGradDiv:
     nbr_mask: jnp.ndarray  # [..., N, K] bool
     w_grad: jnp.ndarray  # [..., 2, N, N]
     w_div: jnp.ndarray  # [..., 2, N, N]
+    # Deferred per-cloud infinity-norm normalization (the fused build
+    # keeps W unnormalized): (s*W) @ x == W @ (s*x), so the scale rides
+    # on the operator INPUTS instead of a second pass over the 2x128MB
+    # dense matrices. None = matrices already normalized.
+    scale: jnp.ndarray = None  # [...] (one scalar per cloud) or None
+
+    def _scaled(self, x, extra_dims):
+        if self.scale is None:
+            return x
+        s = self.scale.reshape(self.scale.shape + (1,) * extra_dims)
+        return (x.astype(jnp.float32) * s).astype(x.dtype)
 
     def grad(self, x):
         """``[..., N, C] -> [..., N, 2, C]`` via one batched matmul."""
         out = jnp.einsum(
             "...dnm,...mc->...dnc", self.w_grad,
-            x.astype(self.w_grad.dtype),
+            self._scaled(x, 2).astype(self.w_grad.dtype),
             preferred_element_type=jnp.float32,
         )  # [..., 2, N, C]
         return jnp.swapaxes(out, -3, -2).astype(x.dtype)  # [..., N, 2, C]
@@ -64,6 +75,7 @@ class DenseGradDiv:
         measured 0.39 vs 0.87 ms at B=32, N=1024, C=128 on v5e).
         """
         dt = self.w_div.dtype
+        v = self._scaled(v, 3)
         out = jnp.einsum(
             "...nm,...mc->...nc", self.w_div[..., 0, :, :],
             v[..., 0, :].astype(dt), preferred_element_type=jnp.float32,

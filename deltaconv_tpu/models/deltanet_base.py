@@ -23,7 +23,8 @@ from ..geometry.grad_div import GradDiv, build_grad_div
 from ..geometry.knn import knn
 from ..nn.deltaconv import DeltaConv
 
-__all__ = ["DeltaNetBase", "build_operators"]
+__all__ = ["DeltaNetBase", "build_operators",
+           "build_dense_operators_fused"]
 
 
 def build_operators(
@@ -99,6 +100,35 @@ def build_operators(
     return jax.vmap(single, in_axes=in_axes)(pos, normal, point_mask)
 
 
+def build_dense_operators_fused(pos, k: int, normal,
+                                kernel_width: float = 1.0,
+                                regularizer: float = 0.001,
+                                knn_method: str = "approx"):
+    """Inference fast path: the whole operator build (kNN -> frames ->
+    WLS -> dense assembly) in two Pallas kernels with a deferred
+    normalization scale (see ops/fused_build.py). Requires given
+    normals, no point_mask, batched ``[B, N, 3]`` input with
+    ``N % 128 == 0``. Semantics match ``densify(build_operators(...),
+    bfloat16)`` to bf16 rounding."""
+    from ..geometry.dense import DenseGradDiv
+    from ..ops.fused_build import fused_dense_build
+    from ..ops.knn_topk import knn_topk
+
+    b, n, _ = pos.shape
+    idx, mean_dist = knn_topk(pos, k,
+                              quantized=(knn_method == "approx"),
+                              return_mean_dist=True)
+    mask = jnp.ones(idx.shape, bool)
+    xb, yb = build_tangent_basis(normal)
+    avg = jnp.mean(mean_dist, axis=1)  # [B]
+    wg, wd, rn = fused_dense_build(pos, normal, xb, yb, idx, mask, avg,
+                                   kernel_width, regularizer)
+    inf_norm = jnp.max(rn, axis=1)
+    scale = jnp.where(inf_norm > 1e-5, 1.0 / inf_norm, 1.0)
+    return DenseGradDiv(nbr_idx=idx, nbr_mask=mask, w_grad=wg,
+                        w_div=wd, scale=scale)
+
+
 class DeltaNetBase(lnn.Module):
     """DGCNN-style backbone of sequential DeltaConv blocks.
 
@@ -121,6 +151,12 @@ class DeltaNetBase(lnn.Module):
     dense_operators: bool = True
     operator_dtype: Optional[str] = None
     knn_method: str = "exact"
+    # Opt-in single-kernel eval build (ops/fused_build.py). Measured
+    # SLOWER than the default gather_rows + wls_fused + densify
+    # pipeline on v5e (2781 vs 2885 clouds/s at B=32, N=1024: the
+    # separate kernels pipeline better and run the WLS chain at
+    # 512-wide tiles) — kept for other shapes/generations.
+    fused_eval_build: bool = False
     # Mixed precision for the conv stack: bf16 matmuls/activations,
     # f32 BatchNorm statistics and parameters. Geometry (operator
     # construction) always runs f32.
@@ -137,19 +173,35 @@ class DeltaNetBase(lnn.Module):
 
         Returns: list of per-stage scalar outputs ``[B, N, C_i]``.
         """
-        gd = build_operators(
-            pos,
-            self.num_neighbors,
-            normal=normal,
-            point_mask=point_mask,
-            kernel_width=self.grad_kernel_width,
-            regularizer=self.grad_regularizer,
-            knn_method=self.knn_method,
+        op_dtype = (jnp.dtype(self.operator_dtype)
+                    if self.operator_dtype else None)
+        use_fused_build = (
+            self.fused_eval_build
+            and self.dense_operators and not train and point_mask is None
+            and normal is not None and pos.ndim == 3
+            and op_dtype == jnp.bfloat16
+            and jax.default_backend() == "tpu"
+            and pos.shape[1] % 128 == 0
         )
-        if self.dense_operators:
-            op_dtype = (jnp.dtype(self.operator_dtype)
-                        if self.operator_dtype else None)
-            gd = densify(gd, op_dtype)
+        if use_fused_build:
+            gd = build_dense_operators_fused(
+                pos, self.num_neighbors, normal,
+                kernel_width=self.grad_kernel_width,
+                regularizer=self.grad_regularizer,
+                knn_method=self.knn_method,
+            )
+        else:
+            gd = build_operators(
+                pos,
+                self.num_neighbors,
+                normal=normal,
+                point_mask=point_mask,
+                kernel_width=self.grad_kernel_width,
+                regularizer=self.grad_regularizer,
+                knn_method=self.knn_method,
+            )
+            if self.dense_operators:
+                gd = densify(gd, op_dtype)
 
         x = features if features is not None else pos
         if self.compute_dtype:

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["densify_coefs"]
+__all__ = ["densify_coefs", "densify_coef_planes"]
 
 
 def _pad_to(x, multiple, axis):
@@ -142,16 +142,24 @@ def densify_coefs(idx, grad_coef, div_coef, dtype_name="float32",
 
 
 def _fwd(idx, grad_coef, div_coef, dtype_name, tile, interpret):
+    planes = [grad_coef[..., 0], grad_coef[..., 1],
+              div_coef[..., 0], div_coef[..., 1]]
+    return densify_coef_planes(idx, *planes, dtype_name=dtype_name,
+                               tile=tile, interpret=interpret)
+
+
+def densify_coef_planes(idx, g1, g2, d1, d2, dtype_name="float32",
+                        tile=128, interpret=False):
+    """Plane-based entry (``[B, N, K]`` per coefficient): same kernel
+    as :func:`densify_coefs` without requiring the ``[..., 2]``
+    stacked layout (the fused gather+WLS build outputs planes).
+    Forward-only."""
     b, n, k = idx.shape
     dtype = jnp.dtype(dtype_name)
     idx_p = _pad_to(idx.astype(jnp.int32), tile, 1)
     n_pad = idx_p.shape[1]
-    planes = [
-        _pad_to(grad_coef[..., 0].astype(jnp.float32), tile, 1),
-        _pad_to(grad_coef[..., 1].astype(jnp.float32), tile, 1),
-        _pad_to(div_coef[..., 0].astype(jnp.float32), tile, 1),
-        _pad_to(div_coef[..., 1].astype(jnp.float32), tile, 1),
-    ]
+    planes = [_pad_to(p.astype(jnp.float32), tile, 1)
+              for p in (g1, g2, d1, d2)]
     tk = pl.BlockSpec((1, tile, k), lambda ib, it: (ib, it, 0),
                       memory_space=pltpu.VMEM)
     w_spec = pl.BlockSpec((1, 2, tile, n), lambda ib, it: (ib, 0, it, 0),

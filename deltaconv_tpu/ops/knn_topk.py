@@ -43,11 +43,14 @@ def _scores(pos_ref, post_ref, sq_ref, tile):
     return s, col, row
 
 
-def _kernel(pos_ref, post_ref, sq_ref, idx_ref, *, k, n, tile):
+def _kernel(pos_ref, post_ref, sq_ref, idx_ref, *md_ref, k, n, tile,
+            mean_dist=False):
     s, col, row = _scores(pos_ref, post_ref, sq_ref, tile)
+    s0 = s
     s = jnp.where(col == row, 2.0 * _BIG, s)
 
     winners = []
+    dsum = None
     for _ in range(k):
         best = jnp.max(s, axis=1, keepdims=True)  # [T, 1]
         win = jnp.min(jnp.where(s >= best, col, n), axis=1,
@@ -55,9 +58,21 @@ def _kernel(pos_ref, post_ref, sq_ref, idx_ref, *, k, n, tile):
         winners.append(win)
         s = jnp.where(col == win, -_BIG, s)
     idx_ref[0] = jnp.concatenate(winners, axis=1).astype(jnp.int32)
+    if mean_dist:
+        # Winners were cleared to -_BIG; recover their exact squared
+        # distances d^2 = |q|^2 - score from the untouched score plane
+        # (score = 2 q.p - |p|^2). The self column contributes d = 0.
+        q = pos_ref[0]
+        qsq = jnp.sum(q * q, axis=1, keepdims=True)  # [T, 1]
+        won = (s <= -_BIG) & (col != row)
+        d2 = jnp.maximum(qsq - s0, 0.0)
+        dsum = jnp.sum(jnp.where(won, jnp.sqrt(d2), 0.0), axis=1,
+                       keepdims=True)  # [T, 1]
+        md_ref[0][0] = dsum / float(k)
 
 
-def _kernel_q(pos_ref, post_ref, sq_ref, idx_ref, *, k, n, tile):
+def _kernel_q(pos_ref, post_ref, sq_ref, idx_ref, *md_ref, k, n, tile,
+              mean_dist=False):
     """Packed-key sweeps: (per-row 16-bit linear score | 65535 - col)
     in ONE int32, so every sweep is a single max-reduce plus a single
     compare-select (~half the VMEM traffic of the exact kernel's
@@ -85,17 +100,36 @@ def _kernel_q(pos_ref, post_ref, sq_ref, idx_ref, *, k, n, tile):
         packed = jnp.where(packed == best, jnp.int32(-2147483648),
                            packed)
     idx_ref[0] = jnp.concatenate(winners, axis=1)
+    if mean_dist:
+        # Winner columns are exactly those cleared to INT_MIN; their
+        # EXACT f32 scores are still live in ``s``, so the mean
+        # distance is exact even though the selection was quantized.
+        q = pos_ref[0]
+        qsq = jnp.sum(q * q, axis=1, keepdims=True)  # [T, 1]
+        won = (packed == jnp.int32(-2147483648)) & (col != row)
+        d2 = jnp.maximum(qsq - s, 0.0)
+        dsum = jnp.sum(jnp.where(won, jnp.sqrt(d2), 0.0), axis=1,
+                       keepdims=True)  # [T, 1]
+        md_ref[0][0] = dsum / float(k)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "tile", "interpret", "quantized"))
+                   static_argnames=("k", "tile", "interpret", "quantized",
+                                    "return_mean_dist"))
 def knn_topk(pos, k: int, tile: int = 128, interpret: bool = False,
-             quantized: bool = False):
+             quantized: bool = False, return_mean_dist: bool = False):
     """``pos [B, N, 3] -> idx [B, N, K]`` k-nearest (self in slot 0,
     ties to the lowest index). ``quantized=True`` runs the ~2x faster
     packed-key sweeps whose ordering is exact at bf16 score granularity
     (see ``_kernel_q``); ``False`` is exact in f32. No mask support —
-    callers with ``point_mask`` use the XLA path."""
+    callers with ``point_mask`` use the XLA path.
+
+    ``return_mean_dist=True`` additionally returns ``[B, N]`` f32 mean
+    Euclidean distance to the k winners (self counted as 0) — the
+    exact per-point value the Gaussian-weight bandwidth needs
+    (grad_div_mls.py:100-116), recovered from the f32 score plane at
+    ~zero extra cost (saves the fused operator build a position
+    re-gather)."""
     b, n, _ = pos.shape
     if quantized and n > 65535:
         quantized = False  # column no longer fits the packed low bits
@@ -105,9 +139,19 @@ def knn_topk(pos, k: int, tile: int = 128, interpret: bool = False,
     post = jnp.swapaxes(pos, 1, 2).astype(jnp.float32)  # [B, 3, N]
     sq = jnp.sum(post * post, axis=1, keepdims=True)  # [B, 1, N]
 
-    idx = pl.pallas_call(
+    out_specs = [pl.BlockSpec((1, tile, k), lambda ib, it: (ib, it, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((b, n_pad, k), jnp.int32)]
+    if return_mean_dist:
+        out_specs.append(pl.BlockSpec((1, tile, 1),
+                                      lambda ib, it: (ib, it, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((b, n_pad, 1), jnp.float32))
+
+    outs = pl.pallas_call(
         functools.partial(_kernel_q if quantized else _kernel,
-                          k=k, n=n, tile=tile),
+                          k=k, n=n, tile=tile,
+                          mean_dist=return_mean_dist),
         grid=(b, n_pad // tile),
         in_specs=[
             pl.BlockSpec((1, tile, 3), lambda ib, it: (ib, it, 0),
@@ -117,9 +161,11 @@ def knn_topk(pos, k: int, tile: int = 128, interpret: bool = False,
             pl.BlockSpec((1, 1, n), lambda ib, it: (ib, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tile, k), lambda ib, it: (ib, it, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n_pad, k), jnp.int32),
+        out_specs=out_specs if return_mean_dist else out_specs[0],
+        out_shape=out_shape if return_mean_dist else out_shape[0],
         interpret=interpret,
     )(pos_p, post, sq)
-    return idx[:, :n]
+    if return_mean_dist:
+        idx, md = outs
+        return idx[:, :n], md[:, :n, 0]
+    return outs[:, :n]

@@ -376,6 +376,66 @@ def test_gather_minmax_self_slot0_interpret(rng):
             np.float32).astype(jnp.bfloat16).astype(np.float32))
 
 
+def test_knn_topk_mean_dist_interpret(rng):
+    """return_mean_dist recovers the exact mean neighbor distance
+    (self counted as 0) in both the exact and quantized kernels."""
+    from deltaconv_tpu.ops.knn_topk import knn_topk
+
+    b, n, k = 2, 256, 10
+    pos = jnp.asarray(rng.standard_normal((b, n, 3)).astype(np.float32))
+    for q in (False, True):
+        idx, md = knn_topk(pos, k, interpret=True, quantized=q,
+                           return_mean_dist=True)
+        p, i = np.asarray(pos), np.asarray(idx)
+        g = p[np.arange(b)[:, None, None], i]
+        want = np.linalg.norm(g - p[:, :, None], axis=-1).sum(-1) / k
+        np.testing.assert_allclose(np.asarray(md), want, atol=1e-5)
+
+
+def test_fused_dense_build_matches_pipeline(rng):
+    """The single-kernel build (ops/fused_build.py) reproduces
+    densify(build_grad_div_fused(...)) after applying its deferred
+    normalization scale, to bf16 rounding."""
+    from deltaconv_tpu.geometry.frames import build_tangent_basis
+    from deltaconv_tpu.ops.densify_op import densify_coefs
+    from deltaconv_tpu.ops.fused_build import fused_dense_build
+    from deltaconv_tpu.ops.wls_fused import build_grad_div_fused
+
+    b, n, k = 2, 256, 8
+    pos = jnp.asarray(rng.standard_normal((b, n, 3)).astype(np.float32))
+    nrm = jnp.asarray(rng.standard_normal((b, n, 3)).astype(np.float32))
+    nrm = nrm / jnp.linalg.norm(nrm, axis=-1, keepdims=True)
+    xb, yb = build_tangent_basis(nrm)
+
+    # self-first kNN (numpy exact)
+    d = np.linalg.norm(np.asarray(pos)[:, :, None]
+                       - np.asarray(pos)[:, None], axis=-1)
+    idx = np.argsort(d, axis=-1)[:, :, :k].astype(np.int32)
+    idx[:, :, 0] = np.arange(n)[None]
+    idx = jnp.asarray(idx)
+    mask = jnp.ones((b, n, k), bool)
+
+    # reference pipeline (normalized)
+    gd = build_grad_div_fused(pos, nrm, xb, yb, idx, mask,
+                              interpret=True)
+    wg_ref, wd_ref = densify_coefs(idx, gd.grad_coef, gd.div_coef,
+                                   "bfloat16", 128, True)
+
+    # fused kernel with the SAME bandwidth the pipeline derived
+    dist = np.take_along_axis(d, np.asarray(idx), axis=-1)
+    avg = jnp.asarray(dist.mean(axis=(1, 2)).astype(np.float32))
+    wg, wd, rn = fused_dense_build(pos, nrm, xb, yb, idx, mask, avg,
+                                   interpret=True)
+    scale = 1.0 / jnp.max(rn, axis=1)
+    sw = scale[:, None, None, None]
+
+    for got, want in ((wg.astype(jnp.float32) * sw, wg_ref),
+                      (wd.astype(jnp.float32) * sw, wd_ref)):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want.astype(jnp.float32)),
+            rtol=2e-2, atol=2e-4)
+
+
 def test_knn_topk_quantized_high_recall(rng):
     """The packed-key (bf16-granularity) kNN variant: self in slot 0,
     no duplicate winners, and >= 0.995 recall vs exact top-k (only
