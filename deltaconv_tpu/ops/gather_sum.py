@@ -42,21 +42,18 @@ def _pad_to(x, multiple, axis):
 def _adjacency(idx_ref, mask_ref, t, n, k, twice):
     """[T, 2N (or N)] masked adjacency counts from [1, T, K] blocks.
 
-    The count accumulator runs at bf16 (2 lanes/cycle on the VPU);
-    counts <= K are exact in bf16. Compares stay int32 — Mosaic on
-    v5e rejects sub-32-bit vector compares."""
+    Accumulation stays f32: a bf16 select-accumulate here crashes the
+    Mosaic compile helper on v5e (like its bf16 vector compares)."""
     cols = 2 * n if twice else n
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (t, cols), 1)
     if twice:
         col_iota = col_iota % n
-    one = jnp.bfloat16(1.0)
-    zero = jnp.bfloat16(0.0)
-    acc = jnp.zeros((t, cols), jnp.bfloat16)
+    acc = jnp.zeros((t, cols), jnp.float32)
     for kk in range(k):
         hit = idx_ref[0, :, kk][:, None] == col_iota
         m = mask_ref[0, :, kk][:, None] > 0
-        acc = acc + jnp.where(hit & m, one, zero)
-    return acc
+        acc = acc + jnp.where(hit & m, 1.0, 0.0)
+    return acc.astype(jnp.bfloat16)
 
 
 def _fwd_kernel(idx_ref, mask_ref, hilo_ref, out_ref, *, k, n):

@@ -234,6 +234,44 @@ def test_gather_backwards_exact_on_tpu(rng):
 
 
 @pytest.mark.skipif(not ON_TPU, reason="pallas kernels need a TPU")
+def test_gather_max_bf16_cotangent_backward_exact_tpu(rng):
+    """bf16 cotangents take the single half-width backward pass (no
+    hi/lo split — lo would be identically 0); routing must still be
+    EXACT: every cotangent value is bf16-representable, so the scatter
+    result is a sum of exact values."""
+    from deltaconv_tpu.ops.gather_max import gather_max
+
+    b, n, k, c = 2, 256, 10, 16
+    h = jnp.asarray(rng.random((b, n, c)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    idx = jnp.asarray(rng.integers(0, n, (b, n, k)).astype(np.int32))
+    mask = jnp.ones((b, n, k), bool)
+    ct = jnp.asarray(rng.random((b, n, c)).astype(np.float32)
+                     ).astype(jnp.bfloat16)
+
+    def loss(hh):
+        return jnp.sum(gather_max(hh, idx, mask).astype(jnp.float32)
+                       * ct.astype(jnp.float32))
+
+    g = np.asarray(jax.jit(jax.grad(loss))(h).astype(jnp.float32))
+    hn = np.asarray(h.astype(jnp.float32))
+    idxn = np.asarray(idx)
+    win = hn[np.arange(b)[:, None, None], idxn]
+    wmax = win.argmax(axis=2)
+    ctn = np.asarray(ct.astype(jnp.float32), np.float64)
+    acc = np.zeros((b, n, c), np.float64)
+    for bi in range(b):
+        for ni in range(n):
+            for ci in range(c):
+                acc[bi, idxn[bi, ni, wmax[bi, ni, ci]], ci] += \
+                    ctn[bi, ni, ci]
+    # dh returns in h's dtype (bf16): compare after the same rounding.
+    want = acc.astype(np.float32).astype(jnp.bfloat16).astype(np.float32)
+    np.testing.assert_allclose(g, np.asarray(want), atol=2e-2,
+                               rtol=2e-2)
+
+
+@pytest.mark.skipif(not ON_TPU, reason="pallas kernels need a TPU")
 @pytest.mark.parametrize("c", [64, 256])
 def test_gather_max_pallas_exact_under_jit_tpu(rng, c):
     from deltaconv_tpu.ops.gather_max import _pallas_fwd
