@@ -1,0 +1,207 @@
+"""Coefficient-form operator application (Pallas).
+
+Applies the k-sparse grad/div operators directly from their per-edge
+coefficients — the LARGE-cloud path. The dense MXU form
+(``geometry.dense``) wins decisively up to a few thousand points, but
+its ``[B, 2, N, N]`` matrices grow quadratically (N = 16384 at bf16 is
+2 GB per operator per batch of 4); the coefficient form stays
+``O(N K)`` and this kernel applies it as the usual exact one-hot
+gather (hi/lo split, f32 accumulation) followed by in-VMEM weighted
+sums over the K slots, instead of XLA's ~9 GB/s native gather.
+
+  grad:  ``y[n, d, c] = sum_k g[n, k, d] * x[idx[n, k], c]``
+  div:   ``y[n, c]    = sum_k sum_d d[n, k, d] * v[idx[n, k], d, c]``
+
+Masked edges need no mask input: their coefficients are zero by
+construction (Gaussian weights vanish there).
+
+Differentiable: the VJP recomputes through the XLA reference
+formulation under ``jax.vjp`` (applications are linear in both
+operands). Serving/eval takes the kernel; a dedicated backward kernel
+is a further perf layer if large-N training becomes a bottleneck.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .gather_max import build_onehot, fit_tile, split_hilo
+
+__all__ = ["coef_apply_grad", "coef_apply_div"]
+
+
+def _pad_to(x, multiple, axis):
+    pad = (-x.shape[axis]) % multiple
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def _grad_kernel(idx_ref, w_ref, hilo_ref, out_ref, *, k, n, paired):
+    t = idx_ref.shape[1]
+    c = hilo_ref.shape[2] // (2 if paired else 1)
+    onehot = build_onehot(idx_ref, t, n, k)
+    both = jnp.dot(onehot, hilo_ref[0],
+                   preferred_element_type=jnp.float32)  # [K*T, 2C|C]
+    val = both[:, :c] + both[:, c:] if paired else both
+    acc0 = jnp.zeros((t, c), jnp.float32)
+    acc1 = jnp.zeros((t, c), jnp.float32)
+    for kk in range(k):
+        vk = val[kk * t:(kk + 1) * t, :]
+        acc0 = acc0 + vk * w_ref[0, :, kk, 0][:, None]
+        acc1 = acc1 + vk * w_ref[0, :, kk, 1][:, None]
+    out_ref[0, 0] = acc0.astype(out_ref.dtype)
+    out_ref[0, 1] = acc1.astype(out_ref.dtype)
+
+
+def _div_kernel(idx_ref, w_ref, hilo_ref, out_ref, *, k, n, c,
+                paired):
+    """Table is the FLATTENED vector field ``[N, 2C]`` (components
+    side by side); each k contracts both component halves with its two
+    coefficient planes."""
+    t = idx_ref.shape[1]
+    onehot = build_onehot(idx_ref, t, n, k)
+    both = jnp.dot(onehot, hilo_ref[0],
+                   preferred_element_type=jnp.float32)  # [K*T, 4C|2C]
+    val = (both[:, :2 * c] + both[:, 2 * c:]) if paired \
+        else both  # [K*T, 2C]
+    acc = jnp.zeros((t, c), jnp.float32)
+    for kk in range(k):
+        vk = val[kk * t:(kk + 1) * t, :]
+        acc = acc + vk[:, :c] * w_ref[0, :, kk, 0][:, None]
+        acc = acc + vk[:, c:] * w_ref[0, :, kk, 1][:, None]
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+def _reference_grad(x, coef, idx):
+    xg = jax.vmap(lambda a, i: a[i])(x, idx)  # [B, N, K, C]
+    return jnp.einsum("bnkd,bnkc->bndc", coef,
+                      xg.astype(jnp.float32),
+                      precision=lax.Precision.HIGHEST).astype(x.dtype)
+
+
+def _reference_div(v, coef, idx):
+    vg = jax.vmap(lambda a, i: a[i])(v, idx)  # [B, N, K, 2, C]
+    return jnp.einsum("bnkd,bnkdc->bnc", coef,
+                      vg.astype(jnp.float32),
+                      precision=lax.Precision.HIGHEST).astype(v.dtype)
+
+
+def _grad_fwd_pallas(x, coef, idx, tile, interpret):
+    b, n, c = x.shape
+    k = idx.shape[-1]
+    hilo, paired = split_hilo(x)
+    cw = hilo.shape[-1]
+    tile = fit_tile(tile, k * (2 * n + 12 * cw))
+    idx_p = _pad_to(idx.astype(jnp.int32), tile, 1)
+    coef_p = _pad_to(coef.astype(jnp.float32), tile, 1)
+    n_pad = idx_p.shape[1]
+
+    out = pl.pallas_call(
+        functools.partial(_grad_kernel, k=k, n=n, paired=paired),
+        grid=(b, n_pad // tile),
+        in_specs=[
+            pl.BlockSpec((1, tile, k), lambda ib, it: (ib, it, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, k, 2), lambda ib, it: (ib, it, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, cw), lambda ib, it: (ib, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2, tile, c),
+                               lambda ib, it: (ib, 0, it, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 2, n_pad, c), x.dtype),
+        interpret=interpret,
+    )(idx_p, coef_p, hilo)
+    # Component-leading in the kernel (mid-dim slice stores crash the
+    # v5e Mosaic helper); swap to the model's [..., N, 2, C] outside.
+    return jnp.swapaxes(out[:, :, :n], 1, 2)
+
+
+def _div_fwd_pallas(v, coef, idx, tile, interpret):
+    b, n, _, c = v.shape
+    k = idx.shape[-1]
+    flat = v.reshape(b, n, 2 * c)
+    hilo, paired = split_hilo(flat)
+    cw = hilo.shape[-1]
+    tile = fit_tile(tile, k * (2 * n + 12 * cw))
+    idx_p = _pad_to(idx.astype(jnp.int32), tile, 1)
+    coef_p = _pad_to(coef.astype(jnp.float32), tile, 1)
+    n_pad = idx_p.shape[1]
+
+    out = pl.pallas_call(
+        functools.partial(_div_kernel, k=k, n=n, c=c, paired=paired),
+        grid=(b, n_pad // tile),
+        in_specs=[
+            pl.BlockSpec((1, tile, k), lambda ib, it: (ib, it, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, k, 2), lambda ib, it: (ib, it, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, cw), lambda ib, it: (ib, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile, c), lambda ib, it: (ib, it, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, c), v.dtype),
+        interpret=interpret,
+    )(idx_p, coef_p, hilo)
+    return out[:, :n]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def coef_apply_grad(x, coef, idx, tile=128, interpret=False):
+    """``x [B, N, C], coef [B, N, K, 2], idx [B, N, K] ->
+    [B, N, 2, C]`` — the coefficient-form gradient application."""
+    if jax.default_backend() == "tpu" or interpret:
+        return _grad_fwd_pallas(x, coef, idx, tile, interpret)
+    return _reference_grad(x, coef, idx)
+
+
+def _cag_fwd(x, coef, idx, tile, interpret):
+    return coef_apply_grad(x, coef, idx, tile, interpret), \
+        (x, coef, idx)
+
+
+def _cag_bwd(tile, interpret, res, ct):
+    x, coef, idx = res
+    _, vjp = jax.vjp(lambda xx, cc: _reference_grad(xx, cc, idx),
+                     x, coef)
+    dx, dc = vjp(ct)
+    return dx, dc, None
+
+
+coef_apply_grad.defvjp(_cag_fwd, _cag_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def coef_apply_div(v, coef, idx, tile=128, interpret=False):
+    """``v [B, N, 2, C], coef [B, N, K, 2], idx [B, N, K] ->
+    [B, N, C]`` — the coefficient-form divergence application."""
+    if jax.default_backend() == "tpu" or interpret:
+        return _div_fwd_pallas(v, coef, idx, tile, interpret)
+    return _reference_div(v, coef, idx)
+
+
+def _cad_fwd(v, coef, idx, tile, interpret):
+    return coef_apply_div(v, coef, idx, tile, interpret), \
+        (v, coef, idx)
+
+
+def _cad_bwd(tile, interpret, res, ct):
+    v, coef, idx = res
+    _, vjp = jax.vjp(lambda vv, cc: _reference_div(vv, cc, idx),
+                     v, coef)
+    dv, dc = vjp(ct)
+    return dv, dc, None
+
+
+coef_apply_div.defvjp(_cad_fwd, _cad_bwd)

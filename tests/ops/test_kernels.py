@@ -474,6 +474,47 @@ def test_fused_dense_build_matches_pipeline(rng):
             rtol=2e-2, atol=2e-4)
 
 
+def test_coef_apply_matches_reference(rng):
+    """Pallas coefficient-form grad/div application (the large-cloud
+    path) matches the XLA gather+einsum reference, values and
+    gradients."""
+    from deltaconv_tpu.ops.coef_apply import (_reference_div,
+                                              _reference_grad,
+                                              coef_apply_div,
+                                              coef_apply_grad)
+
+    b, n, k, c = 2, 256, 8, 24
+    x = jnp.asarray(rng.standard_normal((b, n, c)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, n, 2, c)).astype(np.float32))
+    coef = jnp.asarray(rng.standard_normal((b, n, k, 2))
+                       .astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, n, (b, n, k)).astype(np.int32))
+
+    # two-term bf16 hi/lo gather: ~2^-16 relative of the f32 result
+    got = jax.jit(lambda *a: coef_apply_grad(*a, 128, True))(x, coef, idx)
+    want = _reference_grad(x, coef, idx)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+    got_d = jax.jit(lambda *a: coef_apply_div(*a, 128, True))(v, coef, idx)
+    want_d = _reference_div(v, coef, idx)
+    np.testing.assert_allclose(np.asarray(got_d), np.asarray(want_d),
+                               rtol=1e-4, atol=1e-4)
+
+    # VJP routes through the reference formulation.
+    ct = jnp.asarray(rng.standard_normal(got.shape).astype(np.float32))
+    gx, gc = jax.jit(jax.grad(
+        lambda xx, cc: jnp.sum(coef_apply_grad(xx, cc, idx, 128, True)
+                               * ct), argnums=(0, 1)))(x, coef)
+    wx, wc = jax.grad(
+        lambda xx, cc: jnp.sum(_reference_grad(xx, cc, idx) * ct),
+        argnums=(0, 1))(x, coef)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(wx),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gc), np.asarray(wc),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_knn_topk_quantized_high_recall(rng):
     """The packed-key (bf16-granularity) kNN variant: self in slot 0,
     no duplicate winners, and >= 0.995 recall vs exact top-k (only
