@@ -34,6 +34,10 @@ from .gather_max import build_onehot
 
 __all__ = ["gather_rows"]
 
+# Column width above which the large-N kernels split the one-hot
+# into static blocks (tests shrink this to exercise the path).
+_MAX_ONEHOT_COLS = 1024
+
 
 def _pad_to(x, multiple, axis):
     pad = (-x.shape[axis]) % multiple
@@ -53,6 +57,31 @@ def _fwd_kernel(idx_ref, hilo_ref, out_ref, *, k, n):
     val = both[:, :c] + both[:, c:]
     # Component-major output: one small [K*T, C] -> [C, K*T] transpose
     # in VMEM; edge e = kk*t + tt splits back into (kk, tt).
+    out_ref[0] = val.T.reshape(c, k, t)
+
+
+def _fwd_kernel_blocked(idx_ref, hilo_ref, out_ref, *, k, n, nb):
+    """Large-N variant: the [K*T, N] one-hot is built and contracted
+    in ``nb`` static column blocks of N/nb, keeping VMEM flat in N
+    while the 128-wide point tile (which the component-major output
+    block REQUIRES on its lane axis) stays fixed. Same compare count
+    and the same proven kernel structure as the single-block path."""
+    t = idx_ref.shape[1]
+    c = hilo_ref.shape[2] // 2
+    w = n // nb
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (t, w), 1)
+    idx = idx_ref[0]  # [T, K]
+    val = jnp.zeros((k * t, c), jnp.float32)
+    for b0 in range(nb):
+        ones = [
+            ((idx[:, kk] - b0 * w)[:, None] == col_iota
+             ).astype(jnp.bfloat16)
+            for kk in range(k)
+        ]
+        onehot = jnp.concatenate(ones, axis=0)  # [K*T, W]
+        both = jnp.dot(onehot, hilo_ref[0, b0 * w:(b0 + 1) * w, :],
+                       preferred_element_type=jnp.float32)
+        val = val + both[:, :c] + both[:, c:]
     out_ref[0] = val.T.reshape(c, k, t)
 
 
@@ -81,6 +110,35 @@ def _bwd_kernel(idx_ref, g_ref, dt_ref, *, k, n):
     dt_ref[0] += acc
 
 
+def _bwd_kernel_blocked(idx_ref, g_ref, dt_ref, *, k, n, nb):
+    """Large-N backward: column-blocked transposed one-hot matmuls
+    (see ``_fwd_kernel_blocked``), exact hi/lo cotangent split."""
+    t = idx_ref.shape[1]
+    w = n // nb
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (t, w), 1)
+    idx = idx_ref[0]
+    g = g_ref[0]  # [C, K, T]
+    gf = g.reshape(g.shape[0], k * t).T  # [K*T, C]
+    ghi = gf.astype(jnp.bfloat16)
+    glo = (gf - ghi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        dt_ref[0] = jnp.zeros_like(dt_ref[0])
+
+    for b0 in range(nb):
+        ones = [
+            ((idx[:, kk] - b0 * w)[:, None] == col_iota
+             ).astype(jnp.bfloat16)
+            for kk in range(k)
+        ]
+        onehot = jnp.concatenate(ones, axis=0)  # [K*T, W]
+        acc = jnp.dot(onehot.T, ghi, preferred_element_type=jnp.float32)
+        acc = acc + jnp.dot(onehot.T, glo,
+                            preferred_element_type=jnp.float32)
+        dt_ref[0, b0 * w:(b0 + 1) * w, :] += acc
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def gather_rows(table, idx, tile=128, interpret=False, pad_cols=False):
     """``table [B, N, C], idx [B, N, K] -> [B, C, K, N]`` exact gather
@@ -97,6 +155,14 @@ def _fwd(table, idx, tile, interpret, pad_cols=False):
     b, n, c_in = table.shape
     k = idx.shape[-1]
     tile = fit_tile(tile, k * (2 * n + 12 * c_in))
+    # The component-major output block puts the point tile on the LANE
+    # axis, which must stay 128-wide; when the all-slots one-hot
+    # doesn't fit VMEM at that width (large N), column-block it.
+    nb = 1
+    if tile < 128:
+        tile = 128
+        while (n // nb > _MAX_ONEHOT_COLS and n % (nb * 2) == 0):
+            nb *= 2
     idx_p = _pad_to(idx.astype(jnp.int32), tile, 1)
     n_pad = idx_p.shape[1]
 
@@ -109,7 +175,8 @@ def _fwd(table, idx, tile, interpret, pad_cols=False):
     hilo = jnp.concatenate([hi, lo], axis=-1)  # [B, N, 2C]
 
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, k=k, n=n),
+        functools.partial(_fwd_kernel_blocked, k=k, n=n, nb=nb)
+        if nb > 1 else functools.partial(_fwd_kernel, k=k, n=n),
         grid=(b, n_pad // tile),
         in_specs=[
             pl.BlockSpec((1, tile, k), lambda ib, it: (ib, it, 0),
@@ -142,12 +209,18 @@ def _gather_rows_bwd(tile, interpret, pad_cols, res, g):
     c = g.shape[1]
     k = idx.shape[-1]
     tile = fit_tile(tile, k * (2 * n + 12 * c), fixed_bytes=n * 4 * c)
+    nb = 1
+    if tile < 128:
+        tile = 128
+        while (n // nb > _MAX_ONEHOT_COLS and n % (nb * 2) == 0):
+            nb *= 2
     idx_p = _pad_to(idx.astype(jnp.int32), tile, 1)
     n_pad = idx_p.shape[1]
     g_p = _pad_to(g.astype(jnp.float32), tile, 3)
 
     dt = pl.pallas_call(
-        functools.partial(_bwd_kernel, k=k, n=n),
+        functools.partial(_bwd_kernel_blocked, k=k, n=n, nb=nb)
+        if nb > 1 else functools.partial(_bwd_kernel, k=k, n=n),
         grid=(b, n_pad // tile),
         in_specs=[
             pl.BlockSpec((1, tile, k), lambda ib, it: (ib, it, 0),

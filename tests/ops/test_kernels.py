@@ -339,23 +339,43 @@ def test_densify_bf16_or_packing_matches_f32(rng):
         np.asarray(wd16), np.asarray(wd32.astype(jnp.bfloat16)))
 
 
-def test_gather_rows_component_major_interpret(rng):
+@pytest.mark.parametrize("tile", [128, 64])
+def test_gather_rows_component_major_interpret(rng, tile, monkeypatch):
     """gather_rows returns [B, C, K, N] with out[b, c, kk, i] ==
     table[b, idx[b, i, kk], c] to two-term-bf16 precision (~2^-16
-    relative)."""
+    relative). tile=64 + a shrunk block width forces the column-
+    blocked large-N kernel variant (fwd AND bwd)."""
+    import deltaconv_tpu.ops.gather_rows as GR
     from deltaconv_tpu.ops.gather_rows import gather_rows
+
+    if tile < 128:
+        monkeypatch.setattr(GR, "_MAX_ONEHOT_COLS", 64)
 
     b, n, k, c = 2, 192, 9, 11
     table = jnp.asarray(rng.standard_normal((b, n, c)).astype(np.float32))
     idx = jnp.asarray(rng.integers(0, n, (b, n, k)).astype(np.int32))
 
-    out = jax.jit(lambda t, i: gather_rows(t, i, 128, True))(table, idx)
+    out = jax.jit(lambda t, i: gather_rows(t, i, tile, True))(table, idx)
     assert out.shape == (b, c, k, n)
     tn, idxn = np.asarray(table), np.asarray(idx)
     want = tn[np.arange(b)[:, None, None], idxn]  # [B, N, K, C]
     want = np.transpose(want, (0, 3, 2, 1))
     np.testing.assert_allclose(np.asarray(out), want, rtol=3e-5,
                                atol=1e-5)
+
+    # gradient through the matching backward variant
+    ct = jnp.asarray(rng.standard_normal(out.shape).astype(np.float32))
+    g = jax.jit(jax.grad(lambda t: jnp.sum(
+        gather_rows(t, idx, tile, True) * ct)))(table)
+    tn, idxn, ctn = (np.asarray(table), np.asarray(idx),
+                     np.asarray(ct, np.float64))
+    acc = np.zeros((b, n, c), np.float64)
+    for bi in range(b):
+        for ni in range(n):
+            for kk in range(k):
+                acc[bi, idxn[bi, ni, kk]] += ctn[bi, :, kk, ni]
+    np.testing.assert_allclose(np.asarray(g), acc.astype(np.float32),
+                               atol=1e-4, rtol=1e-4)
 
 
 def test_gather_matmul_minmax_interpret(rng):
