@@ -46,28 +46,26 @@ def _scores(pos_ref, post_ref, sq_ref, tile):
 def _kernel(pos_ref, post_ref, sq_ref, idx_ref, *md_ref, k, n, tile,
             mean_dist=False):
     s, col, row = _scores(pos_ref, post_ref, sq_ref, tile)
-    s0 = s
     s = jnp.where(col == row, 2.0 * _BIG, s)
+    if mean_dist:
+        q = pos_ref[0]
+        qsq = jnp.sum(q * q, axis=1, keepdims=True)  # [T, 1]
+        dsum = jnp.zeros_like(qsq)
 
     winners = []
-    dsum = None
     for _ in range(k):
         best = jnp.max(s, axis=1, keepdims=True)  # [T, 1]
         win = jnp.min(jnp.where(s >= best, col, n), axis=1,
                       keepdims=True)  # lowest-index tie-break
         winners.append(win)
         s = jnp.where(col == win, -_BIG, s)
+        if mean_dist:
+            # d^2 = |q|^2 - score (score = 2 q.p - |p|^2); the pinned
+            # self score clamps to d = 0. Per-sweep [T, 1] ops — far
+            # cheaper than a full-plane recovery pass afterwards.
+            dsum = dsum + jnp.sqrt(jnp.maximum(qsq - best, 0.0))
     idx_ref[0] = jnp.concatenate(winners, axis=1).astype(jnp.int32)
     if mean_dist:
-        # Winners were cleared to -_BIG; recover their exact squared
-        # distances d^2 = |q|^2 - score from the untouched score plane
-        # (score = 2 q.p - |p|^2). The self column contributes d = 0.
-        q = pos_ref[0]
-        qsq = jnp.sum(q * q, axis=1, keepdims=True)  # [T, 1]
-        won = (s <= -_BIG) & (col != row)
-        d2 = jnp.maximum(qsq - s0, 0.0)
-        dsum = jnp.sum(jnp.where(won, jnp.sqrt(d2), 0.0), axis=1,
-                       keepdims=True)  # [T, 1]
         md_ref[0][0] = dsum / float(k)
 
 
@@ -93,23 +91,26 @@ def _kernel_q(pos_ref, post_ref, sq_ref, idx_ref, *md_ref, k, n, tile,
                        jnp.int32(0x7FFF0000) | (jnp.int32(65535) - col),
                        packed)
 
+    if mean_dist:
+        q = pos_ref[0]
+        qsq = jnp.sum(q * q, axis=1, keepdims=True)  # [T, 1]
+        dsum = jnp.zeros_like(qsq)
+
     winners = []
-    for _ in range(k):
+    for sweep in range(k):
         best = jnp.max(packed, axis=1, keepdims=True)  # [T, 1]
         winners.append(jnp.int32(65535) - (best & jnp.int32(65535)))
         packed = jnp.where(packed == best, jnp.int32(-2147483648),
                            packed)
+        if mean_dist and sweep > 0:
+            # Dequantized winner score (error <= row range / 65534 —
+            # ~1e-4 relative on the resulting bandwidth); the sweep-0
+            # self winner contributes d = 0 and is skipped.
+            qb = (best >> 16) + 32768
+            st = rmin + qb.astype(jnp.float32) / scale
+            dsum = dsum + jnp.sqrt(jnp.maximum(qsq - st, 0.0))
     idx_ref[0] = jnp.concatenate(winners, axis=1)
     if mean_dist:
-        # Winner columns are exactly those cleared to INT_MIN; their
-        # EXACT f32 scores are still live in ``s``, so the mean
-        # distance is exact even though the selection was quantized.
-        q = pos_ref[0]
-        qsq = jnp.sum(q * q, axis=1, keepdims=True)  # [T, 1]
-        won = (packed == jnp.int32(-2147483648)) & (col != row)
-        d2 = jnp.maximum(qsq - s, 0.0)
-        dsum = jnp.sum(jnp.where(won, jnp.sqrt(d2), 0.0), axis=1,
-                       keepdims=True)  # [T, 1]
         md_ref[0][0] = dsum / float(k)
 
 

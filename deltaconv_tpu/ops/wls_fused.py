@@ -243,11 +243,18 @@ def build_grad_div_fused(pos, normal, x_basis, y_basis, nbr_idx, nbr_mask,
                          regularizer: float = 0.001,
                          normalized: bool = True,
                          tile: int = 512,
-                         interpret: bool = False) -> GradDiv:
+                         interpret: bool = False,
+                         avg=None) -> GradDiv:
     """Batched fused operator build: ``pos [B, N, 3]`` etc. -> GradDiv.
 
     Semantics match ``jax.vmap(geometry.grad_div.build_grad_div)``
     (without shape_regularizer); see the module docstring.
+
+    ``avg``: optional precomputed per-cloud mean edge length ``[B]``
+    (``knn_topk(..., return_mean_dist=True)`` recovers it for free
+    from the kNN score plane), skipping this function's own
+    reductions. Positions carry no requested gradients in training, so
+    the provenance swap is exact for the parameter VJP.
     """
     b, n, _ = pos.shape
     k = nbr_idx.shape[-1]
@@ -288,13 +295,14 @@ def build_grad_div_fused(pos, normal, x_basis, y_basis, nbr_idx, nbr_mask,
 
     emk = jnp.moveaxis(em, -1, 1)  # [B, K, N]
 
-    # Per-cloud mean of per-point mean edge lengths.
-    cnt = jnp.maximum(jnp.sum(emk, axis=1), 1.0)
-    point_mean = jnp.sum(dist * emk, axis=1) / cnt  # [B, N]
     pm = jnp.any(nbr_mask, axis=2).astype(jnp.float32)
-    avg = jnp.sum(point_mean * pm, axis=1) / jnp.maximum(
-        jnp.sum(pm, axis=1), 1.0
-    )  # [B]
+    if avg is None:
+        # Per-cloud mean of per-point mean edge lengths.
+        cnt = jnp.maximum(jnp.sum(emk, axis=1), 1.0)
+        point_mean = jnp.sum(dist * emk, axis=1) / cnt  # [B, N]
+        avg = jnp.sum(point_mean * pm, axis=1) / jnp.maximum(
+            jnp.sum(pm, axis=1), 1.0
+        )  # [B]
 
     # Planes stay [B, K, N] end to end: the WLS kernel reduces over K
     # on the sublane axis with points on lanes, so NO transpose sits

@@ -441,13 +441,15 @@ def test_knn_topk_mean_dist_interpret(rng):
 
     b, n, k = 2, 256, 10
     pos = jnp.asarray(rng.standard_normal((b, n, 3)).astype(np.float32))
-    for q in (False, True):
+    for q, atol in ((False, 1e-5), (True, 2e-3)):
+        # quantized: winner distances are dequantized from the 16-bit
+        # packed scores (error <= row range / 65534 per neighbor).
         idx, md = knn_topk(pos, k, interpret=True, quantized=q,
                            return_mean_dist=True)
         p, i = np.asarray(pos), np.asarray(idx)
         g = p[np.arange(b)[:, None, None], i]
         want = np.linalg.norm(g - p[:, :, None], axis=-1).sum(-1) / k
-        np.testing.assert_allclose(np.asarray(md), want, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(md), want, atol=atol)
 
 
 def test_fused_dense_build_matches_pipeline(rng):
