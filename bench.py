@@ -6,7 +6,15 @@ per-step kNN + tangent frames + WLS grad/div operator construction, at
 1024 points, k=20, reference channels [64, 64, 128, 256].
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "clouds/sec", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "clouds/sec", "vs_baseline": N,
+   "windows": [...], "train_step_ms": N | null}
+
+The headline value is the MEDIAN of several timed windows after warmup
+(a single cold window under-reports by ~10%).  ``train_step_ms`` is the
+per-step device time of the full training step (fwd+bwd+update) derived
+from a 10-step lax.scan inside one jit (sequential dispatch latency on
+the remote-TPU tunnel would otherwise dominate); it is measured in a
+bounded subprocess so a slow compile cannot starve the headline metric.
 
 ``vs_baseline`` compares against an ESTIMATED PyTorch-reference A100
 throughput (the reference publishes no numbers — BASELINE.md). The
@@ -17,10 +25,11 @@ number when one exists.
 from __future__ import annotations
 
 import json
+import os
+import statistics
+import subprocess
+import sys
 import time
-
-import jax
-import jax.numpy as jnp
 
 # Estimated reference throughput (clouds/sec) of the PyTorch
 # implementation on one A100 at batch 32, 1024 pts, k=20: operator
@@ -38,16 +47,26 @@ K = 20
 CONV_CHANNELS = (64, 64, 128, 256)
 NUM_CLASSES = 40
 
+WARMUP_ITERS = 8
+WINDOW_ITERS = 30
+NUM_WINDOWS = 5
 
-def main():
-    from deltaconv_tpu.data import synthetic_classification_batch
+
+def _enable_compile_cache():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def _build_model():
     from deltaconv_tpu.models import DeltaNetClassification
 
     # Production serving config: bf16 matmuls/activations with f32
     # BatchNorm statistics and parameters (tests pin logit agreement
     # with the f32 path), bf16 dense operators, approximate kNN
     # (>0.98 recall). The geometry/WLS pipeline stays f32.
-    model = DeltaNetClassification(
+    return DeltaNetClassification(
         num_classes=NUM_CLASSES,
         conv_channels=CONV_CHANNELS,
         num_neighbors=K,
@@ -56,6 +75,15 @@ def main():
         compute_dtype="bfloat16",
         knn_method="approx",
     )
+
+
+def bench_eval():
+    import jax
+    import jax.numpy as jnp
+
+    from deltaconv_tpu.data import synthetic_classification_batch
+
+    model = _build_model()
     batch = synthetic_classification_batch(0, BATCH, NUM_POINTS, NUM_CLASSES)
     pos = jnp.asarray(batch["pos"])
     normal = jnp.asarray(batch["normal"])
@@ -69,18 +97,91 @@ def main():
     def forward(pos, normal):
         return model.apply(variables, pos, normal=normal, train=False)
 
-    # Warmup / compile.
-    forward(pos, normal).block_until_ready()
-
-    # Timed loop.
-    iters = 30
-    t0 = time.perf_counter()
-    for _ in range(iters):
+    for _ in range(WARMUP_ITERS):
         out = forward(pos, normal)
     out.block_until_ready()
-    dt = time.perf_counter() - t0
 
-    clouds_per_sec = BATCH * iters / dt
+    windows = []
+    for _ in range(NUM_WINDOWS):
+        t0 = time.perf_counter()
+        for _ in range(WINDOW_ITERS):
+            out = forward(pos, normal)
+        out.block_until_ready()
+        dt = time.perf_counter() - t0
+        windows.append(BATCH * WINDOW_ITERS / dt)
+    return windows
+
+
+def bench_train_step():
+    """Median full-train-step ms via a 10-step scan inside one jit."""
+    import jax
+    import jax.numpy as jnp
+
+    from deltaconv_tpu.data import synthetic_classification_batch
+    from deltaconv_tpu.training import (
+        create_train_state,
+        make_train_step,
+        sgd_momentum,
+    )
+
+    model = _build_model()
+    batch = synthetic_classification_batch(0, BATCH, NUM_POINTS, NUM_CLASSES)
+    pos = jnp.asarray(batch["pos"])
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), (pos,), sgd_momentum(0.01),
+        init_kwargs={"normal": jnp.asarray(batch["normal"])},
+    )
+    step = make_train_step(model, smoothing=0.2)
+    arrays = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    S = 10
+
+    @jax.jit
+    def multi(state, batch, rng):
+        def body(carry, i):
+            st, rg = carry
+            rg, sub = jax.random.split(rg)
+            st, metrics = step(st, batch, sub)
+            return (st, rg), metrics["loss"]
+
+        (state, _), losses = jax.lax.scan(
+            body, (state, rng), jnp.arange(S))
+        return state, losses
+
+    rng = jax.random.PRNGKey(1)
+    st, losses = multi(state, arrays, rng)
+    losses.block_until_ready()
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        st, losses = multi(state, arrays, rng)
+        losses.block_until_ready()
+        times.append((time.perf_counter() - t0) / S * 1000.0)
+    return statistics.median(times)
+
+
+def main():
+    _enable_compile_cache()
+    windows = bench_eval()
+    clouds_per_sec = statistics.median(windows)
+
+    train_step_ms = None
+    if os.environ.get("DELTACONV_BENCH_SKIP_TRAIN") != "1":
+        # Bounded subprocess: a degraded compile server must not starve
+        # the headline metric.
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--train-step"],
+                capture_output=True, text=True, timeout=900,
+                env=dict(os.environ),
+            )
+            if proc.returncode == 0:
+                train_step_ms = json.loads(
+                    proc.stdout.strip().splitlines()[-1])["train_step_ms"]
+        except Exception:
+            train_step_ms = None
+
     print(json.dumps({
         "metric": "clouds/sec (operator build + forward, 1024 pts, k=20, "
                   "batch 32)",
@@ -89,8 +190,15 @@ def main():
         "vs_baseline": round(
             clouds_per_sec / ESTIMATED_REFERENCE_A100_CLOUDS_PER_SEC, 3
         ),
+        "windows": [round(w, 1) for w in windows],
+        "train_step_ms": (round(train_step_ms, 2)
+                          if train_step_ms is not None else None),
     }))
 
 
 if __name__ == "__main__":
-    main()
+    if "--train-step" in sys.argv:
+        _enable_compile_cache()
+        print(json.dumps({"train_step_ms": bench_train_step()}))
+    else:
+        main()
