@@ -118,7 +118,7 @@ def _kernel(avg_ref, idx_ref, maskt_ref, hilo_ref, gc_ref, dc_ref,
 def fused_gather_wls(pos, normal, x_basis, y_basis, idx, mask, avg,
                      kernel_width: float = 1.0,
                      regularizer: float = 0.001,
-                     tile: int = 512, interpret: bool = False):
+                     tile: int = 128, interpret: bool = False):
     """``pos/normal/x_basis/y_basis [B, N, 3], idx/mask [B, N, K],
     avg [B]`` -> ``(grad_coef [B, 2, N, K] f32, div_coef, row_norm
     [B, N] f32)``, UNNORMALIZED (see module docstring).

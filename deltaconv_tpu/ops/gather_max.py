@@ -201,11 +201,12 @@ def _pallas_fwd(h, idx, mask, tile=128, interpret=False, winners=True,
 
     hilo, paired = split_hilo(h)
     cw = 2 * c if paired else c
-    # Eval path: write the output in the compute dtype directly
-    # (halves the output HBM traffic for the bf16 pipeline). The VJP
-    # path stays f32 (cotangent routing compares exact values).
-    out_dt = h.dtype if (not winners and h.dtype == jnp.bfloat16) \
-        else jnp.float32
+    # bf16 inputs write bf16 outputs in BOTH the eval and the VJP
+    # forward (the max of bf16 values is itself bf16-representable, so
+    # this is lossless): halves the output HBM traffic, keeps the
+    # primal and custom_vjp-forward output avals identical, and lets
+    # bf16 cotangents actually reach the half-width backward pass.
+    out_dt = h.dtype if h.dtype == jnp.bfloat16 else jnp.float32
 
     grid = (b, n_pad // tile)
     spec_o = pl.BlockSpec((1, tile, c), lambda ib, it: (ib, it, 0),
@@ -330,7 +331,10 @@ def _reference_fwd(h, idx, mask):
     gathered = jax.vmap(lambda a, i: a[i])(h, idx)  # [B, N, K, C]
     masked = jnp.where(mask[..., None], gathered.astype(jnp.float32), _NEG)
     winner = jnp.argmax(masked, axis=-2).astype(jnp.int32)
-    return jnp.max(masked, axis=-2), winner
+    out = jnp.max(masked, axis=-2)
+    if h.dtype == jnp.bfloat16:  # aval parity with the TPU kernels
+        out = out.astype(h.dtype)
+    return out, winner
 
 
 def _win_to_idx(idx, winner):
@@ -406,8 +410,10 @@ def _pallas_minmax(h, idx, mask, tile=128, interpret=False,
 
     hilo, paired = split_hilo(h)
     cw = 2 * c if paired else c
-    out_dt = h.dtype if (not winners and h.dtype == jnp.bfloat16) \
-        else jnp.float32
+    # bf16 in -> bf16 out in both eval and VJP forwards (see
+    # _pallas_fwd: lossless, aval-consistent, enables the half-width
+    # backward).
+    out_dt = h.dtype if h.dtype == jnp.bfloat16 else jnp.float32
 
     spec_t = pl.BlockSpec((1, tile, k), lambda ib, it: (ib, it, 0),
                           memory_space=pltpu.VMEM)
@@ -434,7 +440,10 @@ def _reference_minmax(h, idx, mask):
     gathered = jax.vmap(lambda a, i: a[i])(h, idx).astype(jnp.float32)
     mx = jnp.where(mask[..., None], gathered, _NEG)
     mn = jnp.where(mask[..., None], gathered, -_NEG)
-    return (jnp.max(mx, axis=-2), jnp.min(mn, axis=-2),
+    omx, omn = jnp.max(mx, axis=-2), jnp.min(mn, axis=-2)
+    if h.dtype == jnp.bfloat16:  # aval parity with the TPU kernels
+        omx, omn = omx.astype(h.dtype), omn.astype(h.dtype)
+    return (omx, omn,
             jnp.argmax(mx, axis=-2).astype(jnp.int32),
             jnp.argmin(mn, axis=-2).astype(jnp.int32))
 

@@ -60,12 +60,25 @@ def _fwd_kernel(idx_ref, hilo_ref, out_ref, *, k, n):
     out_ref[0] = val.T.reshape(c, k, t)
 
 
+def _block_cols(n):
+    """Ceil-division column blocking for the large-N kernels:
+    ``(nb, w, n_tab)`` with ``w`` a multiple of 8 (sublane-aligned
+    table-row slices) and ``n_tab = nb * w >= n``. The table is padded
+    with zero rows up to ``n_tab``; padded columns can never match an
+    index (all indices are < n), so no masking is needed."""
+    nb = -(-n // _MAX_ONEHOT_COLS)
+    w = -(-n // nb)
+    w = w + ((-w) % 8)
+    return nb, w, nb * w
+
+
 def _fwd_kernel_blocked(idx_ref, hilo_ref, out_ref, *, k, n, nb):
     """Large-N variant: the [K*T, N] one-hot is built and contracted
     in ``nb`` static column blocks of N/nb, keeping VMEM flat in N
     while the 128-wide point tile (which the component-major output
     block REQUIRES on its lane axis) stays fixed. Same compare count
-    and the same proven kernel structure as the single-block path."""
+    and the same proven kernel structure as the single-block path.
+    ``n`` here is the padded table length (a multiple of ``nb``)."""
     t = idx_ref.shape[1]
     c = hilo_ref.shape[2] // 2
     w = n // nb
@@ -112,7 +125,8 @@ def _bwd_kernel(idx_ref, g_ref, dt_ref, *, k, n):
 
 def _bwd_kernel_blocked(idx_ref, g_ref, dt_ref, *, k, n, nb):
     """Large-N backward: column-blocked transposed one-hot matmuls
-    (see ``_fwd_kernel_blocked``), exact hi/lo cotangent split."""
+    (see ``_fwd_kernel_blocked``), exact hi/lo cotangent split.
+    ``n`` is the padded table length (a multiple of ``nb``)."""
     t = idx_ref.shape[1]
     w = n // nb
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (t, w), 1)
@@ -157,12 +171,13 @@ def _fwd(table, idx, tile, interpret, pad_cols=False):
     tile = fit_tile(tile, k * (2 * n + 12 * c_in))
     # The component-major output block puts the point tile on the LANE
     # axis, which must stay 128-wide; when the all-slots one-hot
-    # doesn't fit VMEM at that width (large N), column-block it.
-    nb = 1
+    # doesn't fit VMEM at that width (large N), column-block it by
+    # ceil division (any N works; the table pads to nb * w rows).
+    nb, n_tab = 1, n
     if tile < 128:
         tile = 128
-        while (n // nb > _MAX_ONEHOT_COLS and n % (nb * 2) == 0):
-            nb *= 2
+        if n > _MAX_ONEHOT_COLS:
+            nb, _, n_tab = _block_cols(n)
     idx_p = _pad_to(idx.astype(jnp.int32), tile, 1)
     n_pad = idx_p.shape[1]
 
@@ -170,18 +185,20 @@ def _fwd(table, idx, tile, interpret, pad_cols=False):
     # lane-halves split on a sublane-friendly boundary.
     c = c_in + ((-c_in) % 8)
     tf = _pad_to(table.astype(jnp.float32), 8, 2)
+    if n_tab != n:
+        tf = jnp.pad(tf, ((0, 0), (0, n_tab - n), (0, 0)))
     hi = jax.lax.optimization_barrier(tf.astype(jnp.bfloat16))
     lo = (tf - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    hilo = jnp.concatenate([hi, lo], axis=-1)  # [B, N, 2C]
+    hilo = jnp.concatenate([hi, lo], axis=-1)  # [B, N_tab, 2C]
 
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel_blocked, k=k, n=n, nb=nb)
+        functools.partial(_fwd_kernel_blocked, k=k, n=n_tab, nb=nb)
         if nb > 1 else functools.partial(_fwd_kernel, k=k, n=n),
         grid=(b, n_pad // tile),
         in_specs=[
             pl.BlockSpec((1, tile, k), lambda ib, it: (ib, it, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, 2 * c), lambda ib, it: (ib, 0, 0),
+            pl.BlockSpec((1, n_tab, 2 * c), lambda ib, it: (ib, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, c, k, tile), lambda ib, it: (ib, 0, 0, it),
@@ -209,17 +226,17 @@ def _gather_rows_bwd(tile, interpret, pad_cols, res, g):
     c = g.shape[1]
     k = idx.shape[-1]
     tile = fit_tile(tile, k * (2 * n + 12 * c), fixed_bytes=n * 4 * c)
-    nb = 1
+    nb, n_tab = 1, n
     if tile < 128:
         tile = 128
-        while (n // nb > _MAX_ONEHOT_COLS and n % (nb * 2) == 0):
-            nb *= 2
+        if n > _MAX_ONEHOT_COLS:
+            nb, _, n_tab = _block_cols(n)
     idx_p = _pad_to(idx.astype(jnp.int32), tile, 1)
     n_pad = idx_p.shape[1]
     g_p = _pad_to(g.astype(jnp.float32), tile, 3)
 
     dt = pl.pallas_call(
-        functools.partial(_bwd_kernel_blocked, k=k, n=n, nb=nb)
+        functools.partial(_bwd_kernel_blocked, k=k, n=n_tab, nb=nb)
         if nb > 1 else functools.partial(_bwd_kernel, k=k, n=n),
         grid=(b, n_pad // tile),
         in_specs=[
@@ -228,12 +245,12 @@ def _gather_rows_bwd(tile, interpret, pad_cols, res, g):
             pl.BlockSpec((1, c, k, tile), lambda ib, it: (ib, 0, 0, it),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, n, c), lambda ib, it: (ib, 0, 0),
+        out_specs=pl.BlockSpec((1, n_tab, c), lambda ib, it: (ib, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, n_tab, c), jnp.float32),
         interpret=interpret,
     )(idx_p, g_p)
-    return dt[..., :c_in].astype(dtype_carrier.dtype), None
+    return dt[:, :n, :c_in].astype(dtype_carrier.dtype), None
 
 
 gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)

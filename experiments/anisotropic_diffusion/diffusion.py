@@ -18,7 +18,7 @@ __all__ = [
     "laplacian",
     "anisotropic_diffusion",
     "anisotropic_diffusion_nsteps",
-    "test_image",
+    "make_test_image",
 ]
 
 # kornia's normalized Sobel kernels.
@@ -79,7 +79,7 @@ def anisotropic_diffusion_nsteps(image, n: int, kappa: float = 0.05,
     return jax.lax.fori_loop(0, n, body, image)
 
 
-def test_image(size: int = 128, seed: int = 0) -> np.ndarray:
+def make_test_image(size: int = 128, seed: int = 0) -> np.ndarray:
     """A synthetic grayscale test image with edges, gradients and
     texture (stand-in for skimage's astronaut/camera, which are not
     available offline): ``[1, size, size, 1]`` float32 in [0, 1]."""

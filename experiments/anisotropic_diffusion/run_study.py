@@ -29,7 +29,7 @@ import numpy as np
 import optax
 
 from architectures import ALL_NETS
-from diffusion import anisotropic_diffusion_nsteps, test_image
+from diffusion import anisotropic_diffusion_nsteps, make_test_image
 
 
 def train_net(net_cls, image, target, iterations, num_layers, width, lr,
@@ -84,7 +84,7 @@ def main():
                    help="Directory for input/target/prediction PNGs")
     args = p.parse_args()
 
-    image = jnp.asarray(test_image(args.size))
+    image = jnp.asarray(make_test_image(args.size))
     target = anisotropic_diffusion_nsteps(image, args.steps)
 
     if args.save_images:

@@ -17,7 +17,7 @@ from diffusion import (  # noqa: E402
     anisotropic_diffusion_nsteps,
     laplacian,
     spatial_gradient,
-    test_image,
+    make_test_image,
 )
 from run_study import train_net  # noqa: E402
 
@@ -56,7 +56,7 @@ def test_diffusion_preserves_flat_regions():
 def test_architectures_forward_shapes():
     import jax
 
-    img = jnp.asarray(test_image(32))
+    img = jnp.asarray(make_test_image(32))
     for net_cls in ALL_NETS:
         model = net_cls(num_layers=2, out_channels=4, in_channels=1)
         params = model.init(jax.random.PRNGKey(0), img)
@@ -69,7 +69,7 @@ def test_architectures_forward_shapes():
 def test_deltaconv_beats_isotropic_baselines():
     """The paper's Figure 2 claim: DeltaConv fits anisotropic diffusion
     better than the isotropic point-based baselines."""
-    img = jnp.asarray(test_image(48))
+    img = jnp.asarray(make_test_image(48))
     target = anisotropic_diffusion_nsteps(img, 5)
 
     from architectures import GCN, PointNet

@@ -339,19 +339,20 @@ def test_densify_bf16_or_packing_matches_f32(rng):
         np.asarray(wd16), np.asarray(wd32.astype(jnp.bfloat16)))
 
 
-@pytest.mark.parametrize("tile", [128, 64])
-def test_gather_rows_component_major_interpret(rng, tile, monkeypatch):
+@pytest.mark.parametrize("tile,n", [(128, 192), (64, 192), (64, 193)])
+def test_gather_rows_component_major_interpret(rng, tile, n, monkeypatch):
     """gather_rows returns [B, C, K, N] with out[b, c, kk, i] ==
     table[b, idx[b, i, kk], c] to two-term-bf16 precision (~2^-16
     relative). tile=64 + a shrunk block width forces the column-
-    blocked large-N kernel variant (fwd AND bwd)."""
+    blocked large-N kernel variant (fwd AND bwd); n=193 (prime)
+    exercises the ceil-division blocking with a padded final block."""
     import deltaconv_tpu.ops.gather_rows as GR
     from deltaconv_tpu.ops.gather_rows import gather_rows
 
     if tile < 128:
         monkeypatch.setattr(GR, "_MAX_ONEHOT_COLS", 64)
 
-    b, n, k, c = 2, 192, 9, 11
+    b, k, c = 2, 9, 11
     table = jnp.asarray(rng.standard_normal((b, n, c)).astype(np.float32))
     idx = jnp.asarray(rng.integers(0, n, (b, n, k)).astype(np.int32))
 
