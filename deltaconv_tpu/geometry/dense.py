@@ -28,12 +28,13 @@ import jax
 import jax.numpy as jnp
 
 from .grad_div import GradDiv
+from .nbr_ops import NeighborAggregations
 
 __all__ = ["DenseGradDiv", "densify"]
 
 
 @flax.struct.dataclass
-class DenseGradDiv:
+class DenseGradDiv(NeighborAggregations):
     """Dense grad/div operators plus the neighbor lists (for the
     scalar-stream max aggregation, which stays a gather).
 

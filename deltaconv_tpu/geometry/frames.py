@@ -49,7 +49,8 @@ def build_tangent_basis(normal):
 
 
 @jax.jit
-def estimate_basis(pos, nbr_idx, nbr_mask=None, orientation=None):
+def estimate_basis(pos, nbr_idx, nbr_mask=None, orientation=None,
+                   table=None):
     """Estimates per-point tangent frames from k-nearest neighborhoods.
 
     The normal is the eigenvector of the smallest eigenvalue of the
@@ -67,12 +68,16 @@ def estimate_basis(pos, nbr_idx, nbr_mask=None, orientation=None):
       orientation: optional ``[N, 3]`` rough normal direction used to
         orient the estimated normals (the models pass ``pos``;
         deltanet_base.py:65).
+      table: optional ``[N_total, 3]`` neighbor lookup table when
+        ``nbr_idx`` holds global indices into a larger cloud than the
+        local center rows ``pos`` (point-sharded build).
 
     Returns:
       ``(normal, x_basis, y_basis)``: each ``[N, 3]``, orthonormal and
       right-handed (``y = n x x``).
     """
-    offsets = pos[nbr_idx] - pos[:, None, :]  # [N, K, 3]
+    tab = pos if table is None else table
+    offsets = tab[nbr_idx] - pos[:, None, :]  # [N, K, 3]
     if nbr_mask is not None:
         offsets = offsets * nbr_mask[..., None].astype(offsets.dtype)
     # Un-centered covariance, matching SVD of the raw offset matrix.

@@ -36,14 +36,16 @@ import jax.numpy as jnp
 from jax import lax
 
 from .linalg import chol_solve
+from .nbr_ops import NeighborAggregations
 from .utils import EPS, batch_dot, safe_norm
 
-__all__ = ["GradDiv", "build_grad_div", "coords_projected", "gaussian_weights",
+__all__ = ["GradDiv", "build_grad_div", "build_grad_div_tables",
+           "coords_projected", "gaussian_weights",
            "weighted_least_squares", "fit_vector_mapping"]
 
 
 @flax.struct.dataclass
-class GradDiv:
+class GradDiv(NeighborAggregations):
     """Gradient + divergence operators for one point cloud.
 
     Attributes:
@@ -95,21 +97,30 @@ class GradDiv:
                           precision=lax.Precision.HIGHEST)
 
 
+def _coords_projected_tables(pos_tab, pc, nc, xc, yc, nbr_idx):
+    """Tangent coords with separate neighbor table / center arrays
+    (identical math to :func:`coords_projected`; the point-sharded
+    build passes the all-gathered table with local centers)."""
+    offsets = pos_tab[nbr_idx] - pc[:, None, :]  # [N, K, 3]
+    planar = offsets - nc[:, None, :] * jnp.sum(
+        offsets * nc[:, None, :], axis=-1, keepdims=True
+    )
+    u = jnp.sum(planar * xc[:, None, :], axis=-1)
+    v = jnp.sum(planar * yc[:, None, :], axis=-1)
+    return jnp.stack([u, v], axis=-1)
+
+
 def coords_projected(pos, normal, x_basis, y_basis, nbr_idx):
     """Tangent-plane (u, v) coordinates of each neighbor offset.
 
     Reference: grad_div_mls.py:72-97. Returns ``[N, K, 2]``.
     """
-    offsets = pos[nbr_idx] - pos[:, None, :]  # [N, K, 3]
-    planar = offsets - normal[:, None, :] * jnp.sum(
-        offsets * normal[:, None, :], axis=-1, keepdims=True
-    )
-    u = jnp.sum(planar * x_basis[:, None, :], axis=-1)
-    v = jnp.sum(planar * y_basis[:, None, :], axis=-1)
-    return jnp.stack([u, v], axis=-1)
+    return _coords_projected_tables(pos, pos, normal, x_basis, y_basis,
+                                    nbr_idx)
 
 
-def gaussian_weights(dist, nbr_mask=None, point_mask=None, kernel_width=1.0):
+def gaussian_weights(dist, nbr_mask=None, point_mask=None, kernel_width=1.0,
+                     avg=None):
     """Normalized per-edge Gaussian weights.
 
     ``exp(-d^2 / (kernel_width * avg)^2)`` with ``avg`` the per-cloud
@@ -125,6 +136,8 @@ def gaussian_weights(dist, nbr_mask=None, point_mask=None, kernel_width=1.0):
       nbr_mask: optional ``[N, K]`` bool edge validity.
       point_mask: optional ``[N]`` bool point validity.
       kernel_width: kernel size relative to the average edge length.
+      avg: optional precomputed per-cloud average edge length (scalar)
+        — the point-sharded build passes a psum-reduced global value.
 
     Returns:
       ``[N, K]`` weights summing to one over valid slots.
@@ -132,15 +145,31 @@ def gaussian_weights(dist, nbr_mask=None, point_mask=None, kernel_width=1.0):
     if nbr_mask is None:
         nbr_mask = jnp.ones_like(dist, dtype=bool)
     em = nbr_mask.astype(dist.dtype)
+    if avg is None:
+        cnt = jnp.maximum(jnp.sum(em, axis=1), 1.0)
+        point_mean = jnp.sum(dist * em, axis=1) / cnt  # [N]
+        if point_mask is None:
+            avg = jnp.mean(point_mean)
+        else:
+            pm = point_mask.astype(dist.dtype)
+            avg = jnp.sum(point_mean * pm) / jnp.maximum(jnp.sum(pm), 1.0)
+    w = jnp.exp(-(dist**2) / jnp.maximum((kernel_width * avg) ** 2, 1e-20)) * em
+    return w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), EPS)
+
+
+def mean_edge_length(dist, nbr_mask=None, point_mask=None):
+    """Per-cloud mean of per-point mean edge lengths as a
+    ``(sum, count)`` pair — the two local partial reductions the
+    point-sharded build psums before dividing."""
+    if nbr_mask is None:
+        nbr_mask = jnp.ones_like(dist, dtype=bool)
+    em = nbr_mask.astype(dist.dtype)
     cnt = jnp.maximum(jnp.sum(em, axis=1), 1.0)
     point_mean = jnp.sum(dist * em, axis=1) / cnt  # [N]
     if point_mask is None:
-        avg = jnp.mean(point_mean)
-    else:
-        pm = point_mask.astype(dist.dtype)
-        avg = jnp.sum(point_mean * pm) / jnp.maximum(jnp.sum(pm), 1.0)
-    w = jnp.exp(-(dist**2) / jnp.maximum((kernel_width * avg) ** 2, 1e-20)) * em
-    return w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), EPS)
+        return jnp.sum(point_mean), jnp.float32(dist.shape[0])
+    pm = point_mask.astype(dist.dtype)
+    return jnp.sum(point_mean * pm), jnp.sum(pm)
 
 
 def _poly_basis(coords):
@@ -204,7 +233,16 @@ def fit_vector_mapping(pos, normal, x_basis, y_basis, nbr_idx, wls, coords,
         nc = normal[center_idx]
         xc = x_basis[center_idx]
         yc = y_basis[center_idx]
-    offsets = pos[nbr_idx] - pc[:, None, :]  # [N, K, 3]
+    return _fit_vector_mapping_tables(pos, x_basis, y_basis, pc, nc,
+                                      xc, yc, nbr_idx, wls, coords)
+
+
+def _fit_vector_mapping_tables(pos_tab, xb_tab, yb_tab, pc, nc, xc, yc,
+                               nbr_idx, wls, coords):
+    """:func:`fit_vector_mapping` with explicit neighbor tables and
+    center arrays — the shared core the point-sharded build calls with
+    all-gathered tables and local centers."""
+    offsets = pos_tab[nbr_idx] - pc[:, None, :]  # [N, K, 3]
     patch_f = jnp.sum(offsets * nc[:, None, :], axis=-1)  # [N, K]
     coeff = jnp.einsum("nkc,nk->nc", wls, patch_f,
                        precision=lax.Precision.HIGHEST)  # [N, 6]
@@ -227,8 +265,8 @@ def fit_vector_mapping(pos, normal, x_basis, y_basis, nbr_idx, wls, coords,
         [jnp.stack([G, -F], axis=-1), jnp.stack([-F, E], axis=-1)], axis=-2
     ) / det[..., None, None]  # [N, K, 2, 2]
 
-    xb_j = x_basis[nbr_idx]  # [N, K, 3]
-    yb_j = y_basis[nbr_idx]
+    xb_j = xb_tab[nbr_idx]  # [N, K, 3]
+    yb_j = yb_tab[nbr_idx]
     bt = jnp.stack(
         [
             jnp.stack(
@@ -283,7 +321,52 @@ def build_grad_div(
     Returns:
       :class:`GradDiv`.
     """
-    n = pos.shape[0]
+    return build_grad_div_tables(
+        pos, x_basis, y_basis, pos, normal, x_basis, y_basis,
+        nbr_idx, nbr_mask=nbr_mask, point_mask=point_mask,
+        kernel_width=kernel_width, regularizer=regularizer,
+        normalized=normalized, shape_regularizer=shape_regularizer,
+    )
+
+
+def build_grad_div_tables(
+    pos_tab,
+    xb_tab,
+    yb_tab,
+    pc,
+    nc,
+    xc,
+    yc,
+    nbr_idx,
+    nbr_mask=None,
+    point_mask=None,
+    kernel_width: float = 1.0,
+    regularizer: float = 0.001,
+    normalized: bool = True,
+    shape_regularizer: Optional[float] = None,
+    avg_reduce=None,
+    max_reduce=None,
+) -> GradDiv:
+    """:func:`build_grad_div` generalized to explicit neighbor tables.
+
+    The single source of truth for the operator math: the single-cloud
+    build passes ``pos``/frames as both tables and centers; the
+    point-sharded build (parallel/point_sharding.py) passes the
+    all-gathered position/frame tables with its LOCAL center rows plus
+    collective reduction hooks.
+
+    Args:
+      pos_tab, xb_tab, yb_tab: ``[N_total, 3]`` neighbor lookup tables
+        (``nbr_idx`` indexes these).
+      pc, nc, xc, yc: ``[N, 3]`` center positions/normals/frames.
+      nbr_idx, nbr_mask, point_mask: ``[N, K]`` / ``[N]`` as in
+        :func:`build_grad_div` (indices are table-global).
+      avg_reduce: optional ``(sum, count) -> scalar`` hook producing
+        the global mean edge length (default: local ``sum / count``,
+        matching :func:`gaussian_weights`'s internal average).
+      max_reduce: optional ``scalar -> scalar`` hook completing the
+        infinity-norm max across shards (default: identity).
+    """
     if nbr_mask is None:
         nbr_mask = jnp.ones(nbr_idx.shape, dtype=bool)
     if point_mask is not None:
@@ -291,10 +374,14 @@ def build_grad_div(
     # Keep gather indices in-bounds on padded slots.
     nbr_idx = jnp.where(nbr_mask, nbr_idx, 0).astype(jnp.int32)
 
-    coords = coords_projected(pos, normal, x_basis, y_basis, nbr_idx)
+    coords = _coords_projected_tables(pos_tab, pc, nc, xc, yc, nbr_idx)
     # safe_norm: zero self-edge offsets NaN under linalg.norm's VJP.
-    dist = safe_norm(pos[nbr_idx] - pos[:, None, :], axis=-1)
-    weights = gaussian_weights(dist, nbr_mask, point_mask, kernel_width)
+    dist = safe_norm(pos_tab[nbr_idx] - pc[:, None, :], axis=-1)
+    avg = None
+    if avg_reduce is not None:
+        avg = avg_reduce(*mean_edge_length(dist, nbr_mask, point_mask))
+    weights = gaussian_weights(dist, nbr_mask, point_mask, kernel_width,
+                               avg=avg)
 
     if shape_regularizer is None:
         wls = weighted_least_squares(coords, weights, regularizer)
@@ -316,10 +403,13 @@ def build_grad_div(
         if point_mask is not None:
             row_norm = jnp.where(point_mask, row_norm, 0.0)
         inf_norm = jnp.max(row_norm)
+        if max_reduce is not None:
+            inf_norm = max_reduce(inf_norm)
         grad_coef = jnp.where(inf_norm > 1e-5, grad_coef / inf_norm, grad_coef)
 
-    vec_map = fit_vector_mapping(
-        pos, normal, x_basis, y_basis, nbr_idx, wls_shape, coords
+    vec_map = _fit_vector_mapping_tables(
+        pos_tab, xb_tab, yb_tab, pc, nc, xc, yc, nbr_idx, wls_shape,
+        coords
     )
     # div row = grad row composed with the per-edge vector mapping
     # (reference grad_div_mls.py:271-275).

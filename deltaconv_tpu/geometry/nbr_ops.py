@@ -1,0 +1,84 @@
+"""Neighbor-aggregation protocol shared by every operator object.
+
+``DeltaConv`` never gathers through raw indices itself — it asks its
+operator object (:class:`~.grad_div.GradDiv`,
+:class:`~.dense.DenseGradDiv`, or the point-sharded
+``ShardedGradDiv``) for the aggregation it needs. That keeps kernel
+dispatch (Pallas vs XLA reference paths) in ONE place and lets the
+point-sharded operators swap in collective-based implementations
+without touching the conv (reference scatter call sites:
+/root/reference/deltaconv/nn/deltaconv.py:50-59).
+
+All methods accept features shaped like ``nbr_idx`` minus the K axis
+plus channels — ``[N, C]`` against ``[N, K]`` lists, ``[B, N, C]``
+against ``[B, N, K]`` — and normalize batching for the kernels
+internally.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["NeighborAggregations"]
+
+
+class NeighborAggregations:
+    """Mixin over objects exposing ``nbr_idx``/``nbr_mask``."""
+
+    def _unbatched(self, h):
+        return self.nbr_idx.ndim == 2 and h.ndim == 2
+
+    def nbr_max(self, h, self_slot0: bool = True):
+        """Masked neighbor max; all-masked rows return 0."""
+        from ..ops.gather_max import masked_nbr_max
+
+        return masked_nbr_max(h, self.nbr_idx, self.nbr_mask,
+                              self_slot0=self_slot0)
+
+    def nbr_minmax(self, h, self_slot0: bool = True):
+        """Masked neighbor (max, min) in one pass; all-masked rows
+        return (-3e38, +3e38) — callers mask them."""
+        from ..ops.gather_max import gather_minmax
+
+        if self._unbatched(h):
+            mx, mn = gather_minmax(h[None], self.nbr_idx[None],
+                                   self.nbr_mask[None],
+                                   self_slot0=self_slot0)
+            return mx[0], mn[0]
+        return gather_minmax(h, self.nbr_idx, self.nbr_mask,
+                             self_slot0=self_slot0)
+
+    def nbr_matmul_minmax(self, x, w, self_slot0: bool = True):
+        """(max, min) of ``(x @ w)[nbr]`` over valid neighbors — the
+        eval-mode fused gather-then-matmul fast path (TPU only;
+        callers gate on backend)."""
+        from ..ops.gather_max import gather_matmul_minmax
+
+        if self._unbatched(x):
+            mx, mn = gather_matmul_minmax(x[None], w, self.nbr_idx[None],
+                                          self.nbr_mask[None],
+                                          self_slot0=self_slot0)
+            return mx[0], mn[0]
+        return gather_matmul_minmax(x, w, self.nbr_idx, self.nbr_mask,
+                                    self_slot0=self_slot0)
+
+    def nbr_sum(self, h, mask=None):
+        """Masked neighbor sum (adjacency contraction)."""
+        from ..ops.gather_sum import gather_sum
+
+        mask = self.nbr_mask if mask is None else mask
+        if self._unbatched(h):
+            return gather_sum(h[None], self.nbr_idx[None], mask[None])[0]
+        return gather_sum(h, self.nbr_idx, mask)
+
+    def gather(self, h):
+        """Plain per-neighbor gather ``[..., N, C] -> [..., N, K, C]``."""
+
+        def one(x, i):
+            return x[i]
+
+        f = one
+        for _ in range(self.nbr_idx.ndim - 2):
+            f = jax.vmap(f)
+        return f(h, self.nbr_idx)

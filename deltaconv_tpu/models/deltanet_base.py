@@ -164,12 +164,16 @@ class DeltaNetBase(lnn.Module):
 
     @lnn.compact
     def __call__(self, pos, normal=None, features=None, point_mask=None,
-                 train: bool = False):
+                 train: bool = False, operators=None):
         """Args:
           pos: ``[B, N, 3]`` positions (operators are rebuilt on them).
           normal: optional ``[B, N, 3]`` normals.
           features: optional ``[B, N, C]`` input scalars (default: pos).
           point_mask: optional ``[B, N]`` bool validity.
+          operators: optional prebuilt operator object implementing the
+            neighbor protocol (geometry/nbr_ops.py) — skips the
+            internal build; used by the point-sharded forward, which
+            constructs collective-backed operators inside shard_map.
 
         Returns: list of per-stage scalar outputs ``[B, N, C_i]``.
         """
@@ -183,7 +187,9 @@ class DeltaNetBase(lnn.Module):
             and jax.default_backend() == "tpu"
             and pos.shape[1] % 128 == 0
         )
-        if use_fused_build:
+        if operators is not None:
+            gd = operators
+        elif use_fused_build:
             gd = build_dense_operators_fused(
                 pos, self.num_neighbors, normal,
                 kernel_width=self.grad_kernel_width,

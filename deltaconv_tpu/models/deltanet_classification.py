@@ -38,10 +38,14 @@ class DeltaNetClassification(lnn.Module):
     operator_dtype: Optional[str] = None
     compute_dtype: Optional[str] = None
     knn_method: str = "exact"
+    # Mesh axis the point dimension is sharded over (point-sharded
+    # forward, parallel/point_sharding.py): global pools complete with
+    # collectives over this axis.
+    point_axis_name: Optional[str] = None
 
     @lnn.compact
     def __call__(self, pos, normal=None, features=None, point_mask=None,
-                 train: bool = False):
+                 train: bool = False, operators=None):
         """Returns logits ``[B, num_classes]``."""
         conv_out = DeltaNetBase(
             conv_channels=self.conv_channels,
@@ -55,15 +59,17 @@ class DeltaNetClassification(lnn.Module):
             knn_method=self.knn_method,
             name="deltanet_base",
         )(pos, normal=normal, features=features, point_mask=point_mask,
-          train=train)
+          train=train, operators=operators)
 
         x = jnp.concatenate(conv_out, axis=-1)
         x = MLP([self.embedding_size], dtype=self.compute_dtype,
                 name="lin_embedding")(
             x, train=train, mask=point_mask)
 
+        ax = self.point_axis_name
         x = jnp.concatenate(
-            [global_max_pool(x, point_mask), global_mean_pool(x, point_mask)],
+            [global_max_pool(x, point_mask, ax),
+             global_mean_pool(x, point_mask, ax)],
             axis=-1,
         )
 

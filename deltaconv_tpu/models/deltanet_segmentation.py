@@ -42,10 +42,12 @@ class DeltaNetSegmentation(lnn.Module):
     operator_dtype: Optional[str] = None
     compute_dtype: Optional[str] = None
     knn_method: str = "exact"
+    # Mesh axis of a sharded point dimension (point-sharded forward).
+    point_axis_name: Optional[str] = None
 
     @lnn.compact
     def __call__(self, pos, normal=None, features=None, category=None,
-                 point_mask=None, train: bool = False):
+                 point_mask=None, train: bool = False, operators=None):
         """Args as the classification model, plus ``category``:
         ``[B, 16]`` one-hot object category (required when
         ``categorical_vector=True``). Returns ``[B, N, num_classes]``.
@@ -62,7 +64,7 @@ class DeltaNetSegmentation(lnn.Module):
             knn_method=self.knn_method,
             name="deltanet_base",
         )(pos, normal=normal, features=features, point_mask=point_mask,
-          train=train)
+          train=train, operators=operators)
 
         x = jnp.concatenate(conv_out, axis=-1)
         x = MLP([self.embedding_size], dtype=self.compute_dtype,
@@ -70,7 +72,8 @@ class DeltaNetSegmentation(lnn.Module):
             x, train=train, mask=point_mask)
 
         n = pos.shape[-2]
-        x_max = global_max_pool(x, point_mask)  # [B, E]
+        x_max = global_max_pool(x, point_mask,
+                                self.point_axis_name)  # [B, E]
         x_max = jnp.broadcast_to(
             x_max[..., None, :], x_max.shape[:-1] + (n, x_max.shape[-1])
         )

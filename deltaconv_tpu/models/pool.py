@@ -8,25 +8,44 @@ layout these are plain masked reductions over axis 1.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 __all__ = ["global_max_pool", "global_mean_pool"]
 
 
-def global_max_pool(x, point_mask=None):
-    """``[B, N, C] -> [B, C]`` masked max over points."""
+def global_max_pool(x, point_mask=None, axis_name=None):
+    """``[B, N, C] -> [B, C]`` masked max over points.
+
+    ``axis_name``: when the point axis is sharded over a mesh axis
+    (point-sharding), completes the reduction with ``lax.pmax``.
+    """
     if point_mask is None:
-        return jnp.max(x, axis=-2)
+        out = jnp.max(x, axis=-2)
+        return jax.lax.pmax(out, axis_name) if axis_name else out
     mask = point_mask[..., None]
     neg = jnp.asarray(-jnp.inf, x.dtype)
     out = jnp.max(jnp.where(mask, x, neg), axis=-2)
-    return jnp.where(jnp.any(point_mask, axis=-1)[..., None], out, 0.0)
+    any_valid = jnp.any(point_mask, axis=-1)[..., None]
+    if axis_name:
+        out = jax.lax.pmax(out, axis_name)
+        any_valid = jax.lax.pmax(any_valid, axis_name)
+    return jnp.where(any_valid, out, 0.0)
 
 
-def global_mean_pool(x, point_mask=None):
-    """``[B, N, C] -> [B, C]`` masked mean over points."""
+def global_mean_pool(x, point_mask=None, axis_name=None):
+    """``[B, N, C] -> [B, C]`` masked mean over points (psum-completed
+    across shards when ``axis_name`` is set)."""
     if point_mask is None:
-        return jnp.mean(x, axis=-2)
+        if axis_name is None:
+            return jnp.mean(x, axis=-2)
+        s = jax.lax.psum(jnp.sum(x, axis=-2), axis_name)
+        cnt = jax.lax.psum(jnp.float32(x.shape[-2]), axis_name)
+        return s / cnt
     m = point_mask[..., None].astype(x.dtype)
-    cnt = jnp.maximum(jnp.sum(m, axis=-2), 1.0)
-    return jnp.sum(x * m, axis=-2) / cnt
+    s = jnp.sum(x * m, axis=-2)
+    cnt = jnp.sum(m, axis=-2)
+    if axis_name:
+        s = jax.lax.psum(s, axis_name)
+        cnt = jax.lax.psum(cnt, axis_name)
+    return s / jnp.maximum(cnt, 1.0)

@@ -158,51 +158,39 @@ class EdgeMaxMLP(lnn.Module):
     dtype: Optional[str] = None
 
     @lnn.compact
-    def __call__(self, x, nbr_idx, nbr_mask, train: bool = False,
-                 stats_mask=None):
-        """``stats_mask``: edge validity for BatchNorm statistics
-        (None reproduces the reference's mask-free BN, which includes
-        padded edges pointing at index 0)."""
-        from ..ops.gather_max import gather_minmax
-        from ..ops.gather_sum import gather_sum
-
-        unbatched = x.ndim == 2
-        if unbatched:
-            x, nbr_idx, nbr_mask = x[None], nbr_idx[None], nbr_mask[None]
-            if stats_mask is not None:
-                stats_mask = stats_mask[None]
-
+    def __call__(self, x, gd, train: bool = False, stats_mask=None):
+        """``gd``: operator object providing the neighbor protocol
+        (geometry/nbr_ops.py). ``stats_mask``: edge validity for
+        BatchNorm statistics (None reproduces the reference's mask-free
+        BN, which includes padded edges pointing at index 0)."""
         dt = jnp.dtype(self.dtype) if self.dtype else jnp.float32
         y = lnn.Dense(self.out_channels, use_bias=False, dtype=dt,
                       name="lin0")(x)
         y = y.astype(dt)
         # bf16 y runs the gather kernels single-pass (half the FLOPs).
-        mx, mn = gather_minmax(y, nbr_idx, nbr_mask,
-                               self_slot0=True)
+        mx, mn = gd.nbr_minmax(y, self_slot0=True)
         y = y.astype(jnp.float32)
         hmax = mx - y
         hmin = mn - y
 
         mean = var = None
         if train:
-            k = nbr_idx.shape[-1]
-            smask = (jnp.ones(nbr_idx.shape, bool)
+            smask = (jnp.ones(gd.nbr_idx.shape, bool)
                      if stats_mask is None else stats_mask)
-            s = gather_sum(jnp.concatenate([y, y * y], axis=-1),
-                           nbr_idx, smask)
+            s = gd.nbr_sum(jnp.concatenate([y, y * y], axis=-1), smask)
             c = self.out_channels
             s1, s2 = s[..., :c], s[..., c:]
             cnt = jnp.sum(smask, axis=-1).astype(jnp.float32)[..., None]
             e_total = jnp.maximum(jnp.sum(cnt), 1.0)
-            sum_h = jnp.sum(s1 - cnt * y, axis=(0, 1))
-            sum_h2 = jnp.sum(s2 - 2.0 * y * s1 + cnt * y * y, axis=(0, 1))
+            lead = tuple(range(y.ndim - 1))
+            sum_h = jnp.sum(s1 - cnt * y, axis=lead)
+            sum_h2 = jnp.sum(s2 - 2.0 * y * s1 + cnt * y * y, axis=lead)
             mean = sum_h / e_total
             var = jnp.maximum(sum_h2 / e_total - mean * mean, 0.0)
 
         out = _RawBNHolder(name="bn0")(hmax, hmin, mean, var, train)
-        any_valid = jnp.any(nbr_mask, axis=-1)[..., None]
-        out = jnp.where(any_valid, out, 0.0).astype(dt)
-        return out[0] if unbatched else out
+        any_valid = jnp.any(gd.nbr_mask, axis=-1)[..., None]
+        return jnp.where(any_valid, out, 0.0).astype(dt)
 
 
 class _Kernel(lnn.Module):
@@ -240,16 +228,8 @@ class PointMaxMLP(lnn.Module):
     dtype: Optional[str] = None
 
     @lnn.compact
-    def __call__(self, x, nbr_idx, nbr_mask, train: bool = False,
-                 stats_mask=None):
-        from ..ops.gather_max import gather_matmul_minmax, masked_nbr_max
+    def __call__(self, x, gd, train: bool = False, stats_mask=None):
         from .nonlin import BatchNorm
-
-        unbatched = x.ndim == 2
-        if unbatched:
-            x, nbr_idx, nbr_mask = x[None], nbr_idx[None], nbr_mask[None]
-            if stats_mask is not None:
-                stats_mask = stats_mask[None]
 
         dt = jnp.dtype(self.dtype) if self.dtype else jnp.float32
         w = _Kernel(self.out_channels, name="lin0")(x)
@@ -265,8 +245,7 @@ class PointMaxMLP(lnn.Module):
                  and jax.default_backend() == "tpu"
                  and pad128(x.shape[-1]) < pad128(self.out_channels))
         if fused:
-            mx, mn = gather_matmul_minmax(x.astype(dt), w.astype(dt),
-                                          nbr_idx, nbr_mask,
+            mx, mn = gd.nbr_matmul_minmax(x.astype(dt), w.astype(dt),
                                           self_slot0=True)
             # ONE BatchNorm call on the stacked pair (a second call
             # would auto-create a second lnn.BatchNorm under the
@@ -274,14 +253,13 @@ class PointMaxMLP(lnn.Module):
             # so stacking is transparent.
             both = leaky_relu02(bn(jnp.stack([mx, mn]), train=False))
             out = jnp.maximum(both[0], both[1])
-            any_valid = jnp.any(nbr_mask, axis=-1)[..., None]
+            any_valid = jnp.any(gd.nbr_mask, axis=-1)[..., None]
             out = jnp.where(any_valid, out, 0.0).astype(dt)
         else:
             y = jnp.dot(x.astype(dt), w.astype(dt))  # == Dense(dtype=dt)
             h = leaky_relu02(bn(y, train=train, mask=stats_mask))
-            out = masked_nbr_max(h.astype(dt), nbr_idx, nbr_mask,
-                                 self_slot0=True)
-        return out[0] if unbatched else out
+            out = gd.nbr_max(h.astype(dt), self_slot0=True)
+        return out
 
 
 class DeltaConv(lnn.Module):
@@ -318,16 +296,18 @@ class DeltaConv(lnn.Module):
         channels = [self.out_channels] * self.depth
         edge_mask = gd.nbr_mask if point_mask is not None else None
 
-        # Scalar -> scalar aggregation branch.
+        # Scalar -> scalar aggregation branch. All neighbor access goes
+        # through gd's protocol (geometry/nbr_ops.py), so the conv is
+        # agnostic to the operator representation (coefficient, dense,
+        # or point-sharded).
         if self.centralized:
             if (self.fast_centralized and self.depth == 1
                     and self.aggr == "max"):
                 x_max = EdgeMaxMLP(self.out_channels, dtype=self.dtype,
                                    name="s_mlp_max")(
-                    x, gd.nbr_idx, gd.nbr_mask, train=train,
-                    stats_mask=edge_mask)
+                    x, gd, train=train, stats_mask=edge_mask)
             else:
-                x_j = gather_neighbors(x, gd.nbr_idx)  # [..., N, K, C]
+                x_j = gd.gather(x)  # [..., N, K, C]
                 edge = x_j - x[..., :, None, :]
                 h = MLP(channels, dtype=self.dtype,
                         name="s_mlp_max")(edge, train=train,
@@ -336,20 +316,14 @@ class DeltaConv(lnn.Module):
         elif self.depth == 1 and self.aggr == "max":
             x_max = PointMaxMLP(self.out_channels, dtype=self.dtype,
                                 name="s_mlp_max")(
-                x, gd.nbr_idx, gd.nbr_mask, train=train,
-                stats_mask=point_mask)
+                x, gd, train=train, stats_mask=point_mask)
         else:
             h = MLP(channels, dtype=self.dtype,
                     name="s_mlp_max")(x, train=train, mask=point_mask)
             if self.aggr == "max":
-                # Fused Pallas gather+max on TPU (ops/gather_max.py);
-                # reference XLA path elsewhere.
-                from ..ops.gather_max import masked_nbr_max
-
-                x_max = masked_nbr_max(h, gd.nbr_idx, gd.nbr_mask,
-                                       self_slot0=True)
+                x_max = gd.nbr_max(h, self_slot0=True)
             else:
-                h = gather_neighbors(h, gd.nbr_idx)
+                h = gd.gather(h)
                 x_max = _aggregate(h, gd.nbr_mask, self.aggr)
 
         # Operator branch: scalar and vector calculus features.

@@ -1,4 +1,4 @@
-"""Point-sharded operator construction and application (the SP analog).
+"""Point-sharded operators and model forward (the SP analog).
 
 For clouds too large for one chip, the N points of a single cloud are
 sharded over the mesh (SURVEY.md §2.7's "point/graph parallelism"):
@@ -6,41 +6,54 @@ sharded over the mesh (SURVEY.md §2.7's "point/graph parallelism"):
 * every device owns a contiguous row block of positions/features;
 * kNN runs locally against an all-gathered position table (positions
   are 12 bytes/point — gathering them is cheap; features are not);
-* each device builds the MLS operators for ITS points only (the
-  neighborhoods reference global indices);
-* operator application all-gathers the feature table once per apply
-  (the unavoidable halo: neighborhoods are arbitrary), contracts
-  locally, and leaves the result sharded.
+* each device builds the MLS operators for ITS points only through
+  the SAME ``build_grad_div_tables`` core the single-chip build uses
+  (geometry/grad_div.py), with psum/pmax hooks completing the
+  per-cloud mean edge length and infinity norm;
+* operator application and the scalar-stream neighbor max all-gather
+  the feature table once per use (the unavoidable halo: neighborhoods
+  are arbitrary), contract locally, and leave results sharded —
+  exposed to the conv stack through the neighbor protocol
+  (geometry/nbr_ops.py) via :class:`ShardedGradDiv`, so the full
+  DeltaConv/DeltaNet forward runs point-sharded unchanged.
 
 Everything is expressed with ``shard_map`` + ``jax.lax`` collectives
 over ICI; XLA schedules the all-gathers.
+
+Training is not supported through this path (eval/serving only):
+batch statistics would need cross-shard reductions inside BatchNorm.
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..geometry.frames import build_tangent_basis, estimate_basis
-from ..geometry.grad_div import GradDiv, build_grad_div
-from ..geometry.knn import knn
+from ..geometry.grad_div import GradDiv, build_grad_div_tables
 
 __all__ = [
+    "ShardedGradDiv",
     "point_sharded_operators",
     "point_sharded_grad",
     "point_sharded_div",
     "point_sharded_laplacian",
+    "point_sharded_classification",
+    "point_sharded_segmentation",
+    "pad_cloud",
 ]
 
+_NEG = -3.0e38
 
-def _local_knn(pos_local, pos_full, k, offset):
+
+def _local_knn(pos_local, pos_full, k, offset, point_mask_full=None):
     """Top-k neighbors of local rows against the full table.
 
-    Returns global indices with the self-loop pinned to slot 0.
+    Returns global indices with the self-loop pinned to slot 0; masked
+    table rows are never selected (as long as k <= #valid points).
     """
     n_local = pos_local.shape[0]
     sq_l = jnp.sum(pos_local * pos_local, axis=-1)
@@ -52,12 +65,128 @@ def _local_knn(pos_local, pos_full, k, offset):
     rows = offset + jnp.arange(n_local)
     cols = jnp.arange(pos_full.shape[0])
     d2 = jnp.where(rows[:, None] == cols[None, :], -2e30, d2)
+    if point_mask_full is not None:
+        d2 = jnp.where(point_mask_full[None, :], d2, 2e30)
     _, idx = jax.lax.top_k(-d2, k)
     return idx.astype(jnp.int32)
 
 
+class ShardedGradDiv:
+    """Neighbor protocol over a point-sharded cloud.
+
+    Wraps a local :class:`GradDiv` (rows = this shard's points,
+    ``nbr_idx`` global) inside a ``shard_map`` body; every gather
+    all-gathers the feature table over ``axis`` and contracts locally.
+    Implements the same surface the conv stack uses on ``GradDiv`` /
+    ``DenseGradDiv`` (geometry/nbr_ops.py).
+    """
+
+    def __init__(self, gd: GradDiv, axis: str):
+        self.local = gd
+        self.axis = axis
+
+    @property
+    def nbr_idx(self):
+        return self.local.nbr_idx
+
+    @property
+    def nbr_mask(self):
+        return self.local.nbr_mask
+
+    def _full(self, h):
+        return jax.lax.all_gather(h, self.axis, axis=0, tiled=True)
+
+    def grad(self, x):
+        xg = self._full(x)[self.nbr_idx]  # [n_l, K, C]
+        return jnp.einsum("nkd,nkc->ndc", self.local.grad_coef, xg,
+                          precision=jax.lax.Precision.HIGHEST
+                          ).astype(x.dtype)
+
+    def div(self, v):
+        vg = self._full(v)[self.nbr_idx]  # [n_l, K, 2, C]
+        return jnp.einsum("nkd,nkdc->nc", self.local.div_coef, vg,
+                          precision=jax.lax.Precision.HIGHEST
+                          ).astype(v.dtype)
+
+    def _masked(self, h, fill):
+        g = self._full(h)[self.nbr_idx].astype(jnp.float32)
+        return jnp.where(self.nbr_mask[..., None], g, fill)
+
+    def nbr_max(self, h, self_slot0: bool = True):
+        out = jnp.max(self._masked(h, _NEG), axis=-2)
+        any_valid = jnp.any(self.nbr_mask, axis=-1)[..., None]
+        return jnp.where(any_valid, out, 0.0).astype(h.dtype)
+
+    def nbr_minmax(self, h, self_slot0: bool = True):
+        g = self._full(h)[self.nbr_idx].astype(jnp.float32)
+        mask = self.nbr_mask[..., None]
+        mx = jnp.max(jnp.where(mask, g, _NEG), axis=-2)
+        mn = jnp.min(jnp.where(mask, g, -_NEG), axis=-2)
+        if h.dtype == jnp.bfloat16:
+            mx, mn = mx.astype(h.dtype), mn.astype(h.dtype)
+        return mx, mn
+
+    def nbr_matmul_minmax(self, x, w, self_slot0: bool = True):
+        y = jnp.dot(self._full(x), w,
+                    preferred_element_type=jnp.float32).astype(x.dtype)
+        return self.nbr_minmax(y, self_slot0)
+
+    def nbr_sum(self, h, mask=None):
+        raise NotImplementedError(
+            "point-sharded training is not supported (eval only): "
+            "edge BatchNorm statistics would need cross-shard psums"
+        )
+
+    def gather(self, h):
+        return self._full(h)[self.nbr_idx]
+
+
+def _build_local(pos_l, normal_l, pm_l, k, axis, kernel_width,
+                 regularizer, normal_k=10):
+    """shard_map body: local rows of the operators for one cloud."""
+    ax = jax.lax.axis_index(axis)
+    n_local = pos_l.shape[0]
+    offset = ax * n_local
+    pos_full = jax.lax.all_gather(pos_l, axis, axis=0, tiled=True)
+    pm_full = None
+    if pm_l is not None:
+        pm_full = jax.lax.all_gather(pm_l, axis, axis=0, tiled=True)
+
+    nbr_idx = _local_knn(pos_l, pos_full, k, offset, pm_full)
+    if normal_l is None:
+        nbr_n = _local_knn(pos_l, pos_full, min(normal_k, k), offset,
+                           pm_full)
+        n_, xb, yb = estimate_basis(pos_l, nbr_n, orientation=pos_l,
+                                    table=pos_full)
+    else:
+        n_ = normal_l
+        xb, yb = build_tangent_basis(n_)
+
+    # Frames of the NEIGHBORS are needed for the vector mapping:
+    # all-gather the (cheap, 6-float) frame tables.
+    xb_full = jax.lax.all_gather(xb, axis, axis=0, tiled=True)
+    yb_full = jax.lax.all_gather(yb, axis, axis=0, tiled=True)
+
+    nbr_mask = None
+    if pm_full is not None:
+        nbr_mask = pm_full[nbr_idx]
+
+    def avg_reduce(s, c):
+        return (jax.lax.psum(s, axis)
+                / jnp.maximum(jax.lax.psum(c, axis), 1.0))
+
+    gd = build_grad_div_tables(
+        pos_full, xb_full, yb_full, pos_l, n_, xb, yb, nbr_idx,
+        nbr_mask=nbr_mask, point_mask=pm_l,
+        kernel_width=kernel_width, regularizer=regularizer,
+        avg_reduce=avg_reduce,
+        max_reduce=lambda m: jax.lax.pmax(m, axis),
+    )
+    return gd
+
+
 def point_sharded_operators(mesh: Mesh, pos, k: int, normal=None,
-                            axis: str = "points",
+                            point_mask=None, axis: str = "points",
                             kernel_width: float = 1.0,
                             regularizer: float = 0.001) -> GradDiv:
     """Builds row-sharded grad/div operators for ONE large cloud.
@@ -65,120 +194,28 @@ def point_sharded_operators(mesh: Mesh, pos, k: int, normal=None,
     Args:
       mesh: 1-D mesh with axis ``axis``.
       pos: ``[N, 3]`` (sharded or shardable on axis 0; N divisible by
-        the mesh size).
+        the mesh size — :func:`pad_cloud` pads arbitrary N).
       k: neighbors (incl. self).
       normal: optional ``[N, 3]`` unit normals.
+      point_mask: optional ``[N]`` bool validity (padded points).
 
     Returns:
       :class:`GradDiv` whose arrays are sharded on axis 0;
       ``nbr_idx`` holds GLOBAL point indices.
     """
 
-    def build(pos_l, normal_l):
-        ax = jax.lax.axis_index(axis)
-        n_local = pos_l.shape[0]
-        offset = ax * n_local
-        pos_full = jax.lax.all_gather(pos_l, axis, tiled=True)
+    def build(pos_l, normal_l, pm_l):
+        return _build_local(pos_l, normal_l, pm_l, k, axis,
+                            kernel_width, regularizer)
 
-        nbr_idx = _local_knn(pos_l, pos_full, k, offset)
-        if normal_l is None:
-            nbr_n = _local_knn(pos_l, pos_full, min(10, k), offset)
-            # estimate_basis gathers neighbor offsets from the full
-            # table; center rows are the local ones.
-            off = pos_full[nbr_n] - pos_l[:, None, :]
-            cov = jnp.einsum("nkd,nke->nde", off, off,
-                             precision=jax.lax.Precision.HIGHEST)
-            from ..geometry.linalg import eigh3x3
-            from ..geometry.utils import EPS, batch_dot, normalize
-
-            _, vecs = eigh3x3(cov)
-            n_ = normalize(vecs[..., 0], EPS)
-            n_ = jnp.where(batch_dot(n_, pos_l) < 0, -n_, n_)
-            xb = vecs[..., 2]
-            xb = normalize(xb - batch_dot(xb, n_) * n_, EPS)
-            yb = normalize(jnp.cross(n_, xb), EPS)
-        else:
-            n_ = normal_l
-            xb, yb = build_tangent_basis(n_)
-
-        # Frames of the NEIGHBORS are needed for the vector mapping:
-        # all-gather the (cheap, 9-float) frame table.
-        xb_full = jax.lax.all_gather(xb, axis, tiled=True)
-        yb_full = jax.lax.all_gather(yb, axis, tiled=True)
-
-        # Local WLS build: reuse the single-cloud math with the global
-        # tables. build_grad_div indexes pos/x_basis/y_basis with
-        # nbr_idx (global) but treats rows as centers, so pass the
-        # full tables for gathers and the local slices as centers via
-        # the center_idx-style path: simplest is to inline the steps.
-        from ..geometry.grad_div import (
-            fit_vector_mapping,
-            gaussian_weights,
-            weighted_least_squares,
-        )
-
-        off = pos_full[nbr_idx] - pos_l[:, None, :]
-        u = jnp.sum(off * xb[:, None, :], axis=-1)
-        v = jnp.sum(off * yb[:, None, :], axis=-1)
-        coords = jnp.stack([u, v], axis=-1)
-        dist = jnp.linalg.norm(off, axis=-1)
-
-        # Per-cloud average edge length: global mean over the mesh.
-        point_mean = jnp.mean(dist, axis=1)
-        avg = jax.lax.pmean(jnp.mean(point_mean), axis)
-        w = jnp.exp(-(dist**2) / jnp.maximum(
-            (kernel_width * avg) ** 2, 1e-20))
-        w = w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-5)
-
-        wls = weighted_least_squares(coords, w, regularizer)
-        grad_coef = wls[..., 1:3]
-
-        # Global infinity norm.
-        sum_abs = jnp.sum(jnp.abs(grad_coef), axis=1)
-        row_norm = jnp.linalg.norm(sum_abs, axis=-1)
-        inf_norm = jax.lax.pmax(jnp.max(row_norm), axis)
-        grad_coef = jnp.where(inf_norm > 1e-5, grad_coef / inf_norm,
-                              grad_coef)
-
-        # Vector mapping with neighbor frames from the full tables.
-        patch = jnp.sum(off * n_[:, None, :], axis=-1)
-        coeff = jnp.einsum("nkc,nk->nc", wls, patch,
-                           precision=jax.lax.Precision.HIGHEST)
-        h_x = coeff[:, 1, None] + 2 * coeff[:, 3, None] * u \
-            + coeff[:, 4, None] * v
-        h_y = coeff[:, 2, None] + coeff[:, 4, None] * u \
-            + 2 * coeff[:, 5, None] * v
-        gamma_x = xb[:, None, :] + n_[:, None, :] * h_x[..., None]
-        gamma_y = yb[:, None, :] + n_[:, None, :] * h_y[..., None]
-        det = 1.0 + h_x**2 + h_y**2
-        E, F, G = 1.0 + h_x**2, h_x * h_y, 1.0 + h_y**2
-        inv_m = jnp.stack(
-            [jnp.stack([G, -F], -1), jnp.stack([-F, E], -1)], -2
-        ) / det[..., None, None]
-        xb_j = xb_full[nbr_idx]
-        yb_j = yb_full[nbr_idx]
-        bt = jnp.stack([
-            jnp.stack([jnp.sum(gamma_x * xb_j, -1),
-                       jnp.sum(gamma_x * yb_j, -1)], -1),
-            jnp.stack([jnp.sum(gamma_y * xb_j, -1),
-                       jnp.sum(gamma_y * yb_j, -1)], -1),
-        ], -2)
-        vec_map = jnp.einsum("nkab,nkbc->nkac", inv_m, bt,
-                             precision=jax.lax.Precision.HIGHEST)
-        div_coef = jnp.einsum("nkd,nkde->nke", grad_coef, vec_map,
-                              precision=jax.lax.Precision.HIGHEST)
-
-        mask = jnp.ones(nbr_idx.shape, bool)
-        return GradDiv(nbr_idx=nbr_idx, nbr_mask=mask,
-                       grad_coef=grad_coef, div_coef=div_coef)
-
-    spec_in = (P(axis), None if normal is None else P(axis))
+    spec_in = (P(axis), None if normal is None else P(axis),
+               None if point_mask is None else P(axis))
     out_spec = GradDiv(nbr_idx=P(axis), nbr_mask=P(axis),
                        grad_coef=P(axis), div_coef=P(axis))
     return jax.shard_map(
         build, mesh=mesh, in_specs=spec_in, out_specs=out_spec,
         check_vma=False,
-    )(pos, normal)
+    )(pos, normal, point_mask)
 
 
 def _sharded_apply(mesh, axis, fn, gd, x):
@@ -191,34 +228,84 @@ def _sharded_apply(mesh, axis, fn, gd, x):
 
 
 def point_sharded_grad(mesh: Mesh, gd: GradDiv, x, axis: str = "points"):
-    """``[N, C] (sharded) -> [N, 2, C] (sharded)``: all-gathers the
-    scalar table once, contracts locally."""
-
-    def fn(gd_l, x_l):
-        x_full = jax.lax.all_gather(x_l, axis, tiled=True)
-        xg = x_full[gd_l.nbr_idx]
-        return jnp.einsum("nkd,nkc->ndc", gd_l.grad_coef, xg,
-                          precision=jax.lax.Precision.HIGHEST)
-
-    return _sharded_apply(mesh, axis, fn, gd, x)
+    """``[N, C] (sharded) -> [N, 2, C]`` (sharded)."""
+    return _sharded_apply(
+        mesh, axis, lambda g, xl: ShardedGradDiv(g, axis).grad(xl), gd, x)
 
 
 def point_sharded_div(mesh: Mesh, gd: GradDiv, v, axis: str = "points"):
-    """``[N, 2, C] (sharded) -> [N, C] (sharded)``."""
-
-    def fn(gd_l, v_l):
-        v_full = jax.lax.all_gather(v_l, axis, tiled=True)
-        vg = v_full[gd_l.nbr_idx]
-        return jnp.einsum("nkd,nkdc->nc", gd_l.div_coef, vg,
-                          precision=jax.lax.Precision.HIGHEST)
-
-    return _sharded_apply(mesh, axis, fn, gd, v)
+    """``[N, 2, C] (sharded) -> [N, C]`` (sharded)."""
+    return _sharded_apply(
+        mesh, axis, lambda g, vl: ShardedGradDiv(g, axis).div(vl), gd, v)
 
 
 def point_sharded_laplacian(mesh: Mesh, pos, x, k: int, normal=None,
                             axis: str = "points"):
-    """End-to-end demo: sharded build + ``-div(grad(x))`` on one large
-    cloud. All arrays sharded on axis 0 of the ``axis`` mesh dim."""
+    """Sharded build + ``-div(grad(x))`` on one large cloud. All
+    arrays sharded on axis 0 of the ``axis`` mesh dim."""
     gd = point_sharded_operators(mesh, pos, k, normal=normal, axis=axis)
     g = point_sharded_grad(mesh, gd, x, axis=axis)
     return -point_sharded_div(mesh, gd, g, axis=axis)
+
+
+def pad_cloud(pos, n_devices, normal=None):
+    """Pads ``[N, 3]`` arrays to a multiple of ``n_devices`` rows and
+    returns ``(pos, normal, point_mask)`` — the SP entry for arbitrary
+    N."""
+    n = pos.shape[0]
+    pad = (-n) % n_devices
+    mask = jnp.arange(n + pad) < n
+    if pad:
+        pos = jnp.pad(pos, ((0, pad), (0, 0)))
+        if normal is not None:
+            # Unit z keeps build_tangent_basis well-defined on padding.
+            normal = jnp.concatenate(
+                [normal, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]],
+                                              normal.dtype), (pad, 1))])
+    return pos, normal, mask
+
+
+def _point_sharded_forward(mesh, model, variables, pos, normal,
+                           point_mask, axis, out_spec, **apply_kwargs):
+    """Eval forward of a DeltaNet model on ONE point-sharded cloud."""
+    model = model.clone(point_axis_name=axis)
+
+    def fwd(vars_, pos_l, normal_l, pm_l):
+        gd = _build_local(pos_l, normal_l, pm_l, model.num_neighbors,
+                          axis, model.grad_kernel_width,
+                          model.grad_regularizer)
+        sgd = ShardedGradDiv(gd, axis)
+        return model.apply(vars_, pos_l, normal=normal_l,
+                           point_mask=pm_l, train=False, operators=sgd,
+                           **apply_kwargs)
+
+    var_spec = jax.tree.map(lambda _: P(), variables)
+    spec_in = (var_spec, P(axis),
+               None if normal is None else P(axis),
+               None if point_mask is None else P(axis))
+    return jax.shard_map(
+        fwd, mesh=mesh, in_specs=spec_in, out_specs=out_spec,
+        check_vma=False,
+    )(variables, pos, normal, point_mask)
+
+
+def point_sharded_classification(mesh: Mesh, model, variables, pos,
+                                 normal=None, point_mask=None,
+                                 axis: str = "points"):
+    """Eval logits of ``DeltaNetClassification`` for ONE cloud whose
+    points are sharded over ``mesh``: the full conv stack runs on local
+    rows through :class:`ShardedGradDiv`; global pools complete with
+    pmax/psum, so the returned ``[num_classes]`` logits are replicated.
+    """
+    return _point_sharded_forward(mesh, model, variables, pos, normal,
+                                  point_mask, axis, P())
+
+
+def point_sharded_segmentation(mesh: Mesh, model, variables, pos,
+                               normal=None, point_mask=None,
+                               category=None, axis: str = "points"):
+    """Per-point eval logits of ``DeltaNetSegmentation`` for ONE
+    sharded cloud; the ``[N, num_classes]`` output stays sharded."""
+    kwargs = {} if category is None else {"category": category}
+    return _point_sharded_forward(mesh, model, variables, pos, normal,
+                                  point_mask, axis, P(axis), **kwargs)

@@ -47,3 +47,96 @@ def test_point_sharded_estimated_normals(rng):
     assert np.all(np.isfinite(np.asarray(gd.grad_coef)))
     # Global indices may exceed the local shard size.
     assert int(jnp.max(gd.nbr_idx)) >= n // 8
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_point_sharded_classification_matches_single_device(rng):
+    """The FULL conv stack + heads point-sharded over 8 devices must
+    reproduce the single-device eval logits."""
+    from deltaconv_tpu.models import DeltaNetClassification
+    from deltaconv_tpu.parallel.point_sharding import (
+        point_sharded_classification,
+    )
+
+    n, k = 256, 12
+    pos = jnp.asarray(rng.random((n, 3)).astype(np.float32))
+    nrm = jnp.asarray(rng.random((n, 3)).astype(np.float32))
+    nrm = nrm / jnp.linalg.norm(nrm, axis=-1, keepdims=True)
+
+    model = DeltaNetClassification(
+        num_classes=6, conv_channels=(16, 16, 32), num_neighbors=k,
+        dense_operators=False,
+    )
+    variables = model.init(jax.random.PRNGKey(0), pos[None],
+                           normal=nrm[None], train=False)
+    want = np.asarray(model.apply(variables, pos[None], normal=nrm[None],
+                                  train=False))[0]
+
+    mesh = Mesh(np.asarray(jax.devices()), ("points",))
+    got = np.asarray(point_sharded_classification(
+        mesh, model, variables, pos, normal=nrm))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_point_sharded_padded_cloud_matches(rng):
+    """Arbitrary N: pad_cloud pads to the mesh size with a point_mask;
+    logits must match the UNPADDED single-device run."""
+    from deltaconv_tpu.models import DeltaNetClassification
+    from deltaconv_tpu.parallel.point_sharding import (
+        pad_cloud,
+        point_sharded_classification,
+    )
+
+    n, k = 300, 10
+    pos = jnp.asarray(rng.random((n, 3)).astype(np.float32))
+    nrm = jnp.asarray(rng.random((n, 3)).astype(np.float32))
+    nrm = nrm / jnp.linalg.norm(nrm, axis=-1, keepdims=True)
+
+    model = DeltaNetClassification(
+        num_classes=5, conv_channels=(16, 16), num_neighbors=k,
+        dense_operators=False,
+    )
+    variables = model.init(jax.random.PRNGKey(0), pos[None],
+                           normal=nrm[None], train=False)
+    want = np.asarray(model.apply(variables, pos[None], normal=nrm[None],
+                                  train=False))[0]
+
+    mesh = Mesh(np.asarray(jax.devices()), ("points",))
+    pos_p, nrm_p, mask = pad_cloud(pos, 8, nrm)
+    assert pos_p.shape[0] == 304 and int(mask.sum()) == n
+    got = np.asarray(point_sharded_classification(
+        mesh, model, variables, pos_p, normal=nrm_p, point_mask=mask))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_point_sharded_segmentation_matches(rng):
+    from deltaconv_tpu.models import DeltaNetSegmentation
+    from deltaconv_tpu.parallel.point_sharding import (
+        point_sharded_segmentation,
+    )
+
+    n, k = 256, 10
+    pos = jnp.asarray(rng.random((n, 3)).astype(np.float32))
+    nrm = jnp.asarray(rng.random((n, 3)).astype(np.float32))
+    nrm = nrm / jnp.linalg.norm(nrm, axis=-1, keepdims=True)
+    cat = jnp.zeros((16,)).at[3].set(1.0)
+
+    model = DeltaNetSegmentation(
+        num_classes=7, conv_channels=(16, 16), mlp_depth=1,
+        embedding_size=32, categorical_vector=True, num_neighbors=k,
+        dense_operators=False,
+    )
+    variables = model.init(jax.random.PRNGKey(0), pos[None],
+                           normal=nrm[None], category=cat[None],
+                           train=False)
+    want = np.asarray(model.apply(
+        variables, pos[None], normal=nrm[None], category=cat[None],
+        train=False))[0]
+
+    mesh = Mesh(np.asarray(jax.devices()), ("points",))
+    got = np.asarray(point_sharded_segmentation(
+        mesh, model, variables, pos, normal=nrm, category=cat))
+    assert got.shape == (n, 7)
+    np.testing.assert_allclose(got, want, atol=2e-4)
