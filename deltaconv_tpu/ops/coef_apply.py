@@ -15,10 +15,14 @@ sums over the K slots, instead of XLA's ~9 GB/s native gather.
 Masked edges need no mask input: their coefficients are zero by
 construction (Gaussian weights vanish there).
 
-Differentiable: the VJP recomputes through the XLA reference
-formulation under ``jax.vjp`` (applications are linear in both
-operands). Serving/eval takes the kernel; a dedicated backward kernel
-is a further perf layer if large-N training becomes a bottleneck.
+Differentiable with matmul-routed backwards: both applications are
+linear in both operands, and both cotangents are k-sparse edge-row
+operations — the feature cotangent is a scatter-add of per-edge rows
+(``ops.gather_rows.scatter_rows``, a transposed one-hot matmul) and
+the coefficient cotangent contracts gathered rows
+(``ops.gather_rows.gather_rows``) with the output cotangent. XLA's
+native gather/scatter (~9 GB/s on TPU) never runs; off-TPU the VJP
+recomputes through the XLA reference formulation under ``jax.vjp``.
 """
 
 from __future__ import annotations
@@ -173,10 +177,27 @@ def _cag_fwd(x, coef, idx, tile, interpret):
 
 def _cag_bwd(tile, interpret, res, ct):
     x, coef, idx = res
-    _, vjp = jax.vjp(lambda xx, cc: _reference_grad(xx, cc, idx),
-                     x, coef)
-    dx, dc = vjp(ct)
-    return dx, dc, None
+    if not (jax.default_backend() == "tpu" or interpret):
+        _, vjp = jax.vjp(lambda xx, cc: _reference_grad(xx, cc, idx),
+                         x, coef)
+        dx, dc = vjp(ct)
+        return dx, dc, None
+
+    from .gather_rows import gather_rows, scatter_rows
+
+    ctf = ct.astype(jnp.float32)
+    cf = coef.astype(jnp.float32)
+    # dx[m, c] = sum over edges (n, kk) with idx == m of
+    #            sum_d coef[n, kk, d] * ct[n, d, c]
+    # — component-major edge rows fed to the transposed one-hot matmul.
+    edge = jnp.einsum("bnkd,bndc->bckn", cf, ctf,
+                      precision=lax.Precision.HIGHEST)
+    dx = scatter_rows(edge, idx, x.shape[1], tile, interpret)
+    # dcoef[n, kk, d] = sum_c x[idx[n, kk], c] * ct[n, d, c]
+    xg = gather_rows(x.astype(jnp.float32), idx, tile, interpret)
+    dc = jnp.einsum("bckn,bndc->bnkd", xg, ctf,
+                    precision=lax.Precision.HIGHEST)
+    return dx.astype(x.dtype), dc.astype(coef.dtype), None
 
 
 coef_apply_grad.defvjp(_cag_fwd, _cag_bwd)
@@ -198,10 +219,31 @@ def _cad_fwd(v, coef, idx, tile, interpret):
 
 def _cad_bwd(tile, interpret, res, ct):
     v, coef, idx = res
-    _, vjp = jax.vjp(lambda vv, cc: _reference_div(vv, cc, idx),
-                     v, coef)
-    dv, dc = vjp(ct)
-    return dv, dc, None
+    if not (jax.default_backend() == "tpu" or interpret):
+        _, vjp = jax.vjp(lambda vv, cc: _reference_div(vv, cc, idx),
+                         v, coef)
+        dv, dc = vjp(ct)
+        return dv, dc, None
+
+    from .gather_rows import gather_rows, scatter_rows
+
+    b, n, _, c = v.shape
+    k = idx.shape[-1]
+    ctf = ct.astype(jnp.float32)
+    cf = coef.astype(jnp.float32)
+    # dv[m, d, c] = sum over edges with idx == m of coef[., d] * ct[., c]
+    # — flattened [2C] rows matching _div_kernel's table layout.
+    edge = jnp.einsum("bnkd,bnc->bdckn", cf, ctf,
+                      precision=lax.Precision.HIGHEST)
+    dv = scatter_rows(edge.reshape(b, 2 * c, k, n), idx, n, tile,
+                      interpret)
+    # dcoef[n, kk, d] = sum_c v[idx[n, kk], d, c] * ct[n, c]
+    vg = gather_rows(v.reshape(b, n, 2 * c).astype(jnp.float32), idx,
+                     tile, interpret)
+    dc = jnp.einsum("bdckn,bnc->bnkd", vg.reshape(b, 2, c, k, n), ctf,
+                    precision=lax.Precision.HIGHEST)
+    return (dv.reshape(b, n, 2, c).astype(v.dtype),
+            dc.astype(coef.dtype), None)
 
 
 coef_apply_div.defvjp(_cad_fwd, _cad_bwd)

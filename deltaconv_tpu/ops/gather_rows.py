@@ -32,7 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .gather_max import build_onehot
 
-__all__ = ["gather_rows"]
+__all__ = ["gather_rows", "scatter_rows"]
 
 # Column width above which the large-N kernels split the one-hot
 # into static blocks (tests shrink this to exercise the path).
@@ -218,10 +218,29 @@ def _gather_rows_fwd(table, idx, tile, interpret, pad_cols):
         idx, table.shape, jnp.zeros((0,), table.dtype))
 
 
+def scatter_rows(g, idx, n_out, tile=128, interpret=False):
+    """Transposed gather: scatter-add per-edge rows back to the table.
+
+    ``g [B, C, K, N] (component-major edge rows), idx [B, N, K] ->
+    [B, n_out, C]`` with ``out[b, m, c] = sum over (i, kk) with
+    idx[b, i, kk] == m of g[b, c, kk, i]`` — exact (hi/lo cotangent
+    split) transposed one-hot matmuls. This IS :func:`gather_rows`'s
+    backward, exposed for other k-sparse linear ops (coef_apply VJPs)
+    whose gradients are edge-row scatters.
+    """
+    return _scatter_impl(g, idx, (g.shape[0], n_out, g.shape[1]),
+                         tile, interpret)
+
+
 def _gather_rows_bwd(tile, interpret, pad_cols, res, g):
+    idx, tshape, dtype_carrier = res
+    dt = _scatter_impl(g, idx, tshape, tile, interpret)
+    return dt.astype(dtype_carrier.dtype), None
+
+
+def _scatter_impl(g, idx, tshape, tile, interpret):
     from .gather_max import fit_tile
 
-    idx, tshape, dtype_carrier = res
     b, n, c_in = tshape
     c = g.shape[1]
     k = idx.shape[-1]
@@ -250,7 +269,7 @@ def _gather_rows_bwd(tile, interpret, pad_cols, res, g):
         out_shape=jax.ShapeDtypeStruct((b, n_tab, c), jnp.float32),
         interpret=interpret,
     )(idx_p, g_p)
-    return dt[:, :n, :c_in].astype(dtype_carrier.dtype), None
+    return dt[:, :n, :c_in]
 
 
 gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
