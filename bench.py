@@ -161,6 +161,107 @@ def bench_train_step():
     return statistics.median(times)
 
 
+def bench_seg():
+    """Segmentation config (reference train_shapenet.py:180,79-89):
+    N=2048, k=30, conv [64, 128, 256], mlp_depth 2, categorical head.
+    Returns eval clouds/s windows."""
+    import jax
+    import jax.numpy as jnp
+
+    from deltaconv_tpu.data import synthetic_classification_batch
+    from deltaconv_tpu.models import DeltaNetSegmentation
+
+    b, n = 16, 2048
+    model = DeltaNetSegmentation(
+        num_classes=50, conv_channels=(64, 128, 256), mlp_depth=2,
+        categorical_vector=True, num_neighbors=30,
+        dense_operators=True, operator_dtype="bfloat16",
+        compute_dtype="bfloat16", knn_method="approx",
+    )
+    batch = synthetic_classification_batch(0, b, n, 16)
+    pos = jnp.asarray(batch["pos"])
+    normal = jnp.asarray(batch["normal"])
+    cat = jnp.eye(16)[jnp.asarray(batch["label"])]
+
+    variables = jax.jit(
+        lambda p, nn, c: model.init(jax.random.PRNGKey(0), p, normal=nn,
+                                    category=c, train=False)
+    )(pos, normal, cat)
+
+    @jax.jit
+    def forward(pos, normal, cat):
+        return model.apply(variables, pos, normal=normal, category=cat,
+                           train=False)
+
+    for _ in range(4):
+        out = forward(pos, normal, cat)
+    out.block_until_ready()
+    windows = []
+    for _ in range(NUM_WINDOWS):
+        t0 = time.perf_counter()
+        for _ in range(10):
+            out = forward(pos, normal, cat)
+        out.block_until_ready()
+        windows.append(b * 10 / (time.perf_counter() - t0))
+    return windows
+
+
+def bench_large_train():
+    """Large-N coefficient-mode TRAIN step (dense operators are O(N^2)
+    — N=8192 takes the k-sparse coef_apply path with the matmul-routed
+    backwards). Returns (clouds/s, step_ms) via a 5-step scan."""
+    import jax
+    import jax.numpy as jnp
+
+    from deltaconv_tpu.data import synthetic_classification_batch
+    from deltaconv_tpu.models import DeltaNetClassification
+    from deltaconv_tpu.training import (
+        create_train_state,
+        make_train_step,
+        sgd_momentum,
+    )
+
+    b, n = 4, 8192
+    model = DeltaNetClassification(
+        num_classes=NUM_CLASSES, conv_channels=CONV_CHANNELS,
+        num_neighbors=K, dense_operators=False,
+        compute_dtype="bfloat16", knn_method="approx",
+    )
+    batch = synthetic_classification_batch(0, b, n, NUM_CLASSES)
+    pos = jnp.asarray(batch["pos"])
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), (pos,), sgd_momentum(0.01),
+        init_kwargs={"normal": jnp.asarray(batch["normal"])},
+    )
+    step = make_train_step(model, smoothing=0.2)
+    arrays = {k: jnp.asarray(v) for k, v in batch.items()}
+    S = 5
+
+    @jax.jit
+    def multi(state, batch, rng):
+        def body(carry, _):
+            st, rg = carry
+            rg, sub = jax.random.split(rg)
+            st, metrics = step(st, batch, sub)
+            return (st, rg), metrics["loss"]
+
+        (state, _), losses = jax.lax.scan(body, (state, rng),
+                                          jnp.arange(S))
+        return state, losses
+
+    rng = jax.random.PRNGKey(1)
+    st, losses = multi(state, arrays, rng)
+    losses.block_until_ready()
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        st, losses = multi(state, arrays, rng)
+        losses.block_until_ready()
+        times.append((time.perf_counter() - t0) / S)
+    step_s = statistics.median(times)
+    return b / step_s, step_s * 1000.0
+
+
 def main():
     _enable_compile_cache()
     windows = bench_eval()
@@ -200,5 +301,25 @@ if __name__ == "__main__":
     if "--train-step" in sys.argv:
         _enable_compile_cache()
         print(json.dumps({"train_step_ms": bench_train_step()}))
+    elif "--mode=seg" in sys.argv:
+        _enable_compile_cache()
+        w = bench_seg()
+        print(json.dumps({
+            "metric": "clouds/sec (seg eval: build + forward, 2048 pts, "
+                      "k=30, conv [64,128,256] depth 2, batch 16)",
+            "value": round(statistics.median(w), 1),
+            "unit": "clouds/sec",
+            "windows": [round(x, 1) for x in w],
+        }))
+    elif "--mode=large-train" in sys.argv:
+        _enable_compile_cache()
+        cps, ms = bench_large_train()
+        print(json.dumps({
+            "metric": "clouds/sec (train step, 8192 pts, k=20, "
+                      "coefficient operators, batch 4)",
+            "value": round(cps, 1),
+            "unit": "clouds/sec",
+            "step_ms": round(ms, 2),
+        }))
     else:
         main()

@@ -63,6 +63,19 @@ class NeighborAggregations:
         return gather_matmul_minmax(x, w, self.nbr_idx, self.nbr_mask,
                                     self_slot0=self_slot0)
 
+    def nbr_matmul_max(self, x, w, self_slot0: bool = True):
+        """Max of ``(x @ w)[nbr]`` over valid neighbors — single-chain
+        variant for sign-folded callers (TPU only; callers gate on
+        backend). All-masked rows return -3e38 (callers mask them)."""
+        from ..ops.gather_max import gather_matmul_max
+
+        if self._unbatched(x):
+            return gather_matmul_max(x[None], w, self.nbr_idx[None],
+                                     self.nbr_mask[None],
+                                     self_slot0=self_slot0)[0]
+        return gather_matmul_max(x, w, self.nbr_idx, self.nbr_mask,
+                                 self_slot0=self_slot0)
+
     def nbr_sum(self, h, mask=None):
         """Masked neighbor sum (adjacency contraction)."""
         from ..ops.gather_sum import gather_sum

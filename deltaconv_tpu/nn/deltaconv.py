@@ -87,21 +87,19 @@ def _aggregate(h, nbr_mask, aggr: str):
     raise ValueError(f"unknown aggregation '{aggr}'")
 
 
-class _RawBN(lnn.Module):
+class _BNState(lnn.Module):
     """BatchNorm parameters/stats with flax's exact variable layout
-    (scale/bias params, mean/var batch_stats) but a COMMUTED forward:
-    it receives the per-point max and min of the pre-normalization
-    edge values plus externally computed batch statistics, selects the
-    extreme that survives the monotone affine+LeakyReLU per channel,
-    and applies normalization to that single value per point."""
+    (scale/bias params, mean/var batch_stats) for callers that COMMUTE
+    the normalization through a monotone aggregation: returns the
+    effective affine ``(inv, mean, bias)`` with
+    ``z = (h - mean) * inv + bias``, updating running statistics from
+    externally computed batch moments in train mode."""
 
     momentum: float = 0.9
     epsilon: float = 1e-5
 
     @lnn.compact
-    def __call__(self, hmax, hmin, batch_mean, batch_var,
-                 train: bool = False):
-        c = hmax.shape[-1]
+    def __call__(self, c, batch_mean, batch_var, train: bool = False):
         scale = self.param("scale", lnn.initializers.ones, (c,))
         bias = self.param("bias", lnn.initializers.zeros, (c,))
         ra_mean = self.variable("batch_stats", "mean",
@@ -117,17 +115,16 @@ class _RawBN(lnn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
         inv = jax.lax.rsqrt(var + self.epsilon) * scale
-        hsel = jnp.where(inv >= 0, hmax, hmin)
-        return leaky_relu02((hsel - mean) * inv + bias)
+        return inv, mean, bias
 
 
-class _RawBNHolder(lnn.Module):
+class _BNStateHolder(lnn.Module):
     """Name-level shim so the commuted BN's variables live at
     ``bn0/BatchNorm_0/...`` exactly like MLP's BatchNorm wrapper."""
 
     @lnn.compact
     def __call__(self, *args, **kwargs):
-        return _RawBN(name="BatchNorm_0")(*args, **kwargs)
+        return _BNState(name="BatchNorm_0")(*args, **kwargs)
 
 
 class EdgeMaxMLP(lnn.Module):
@@ -138,17 +135,18 @@ class EdgeMaxMLP(lnn.Module):
     MLP (bias-free Dense -> BatchNorm -> LeakyReLU) the aggregation
     commutes: Dense is linear, so the edge value is ``y_j - y_i`` with
     ``y = Dense(x)`` computed ONCE per point, and BatchNorm+LeakyReLU
-    is a per-channel monotone map — increasing where the effective
-    scale ``gamma/sigma >= 0`` (take ``max_k y_j``), decreasing where
-    it is negative (take ``min_k y_j``). Train-mode BatchNorm
-    statistics over the edge population come from neighbor SUMS of
-    ``[y, y^2]`` (ops/gather_sum.py):
+    is a per-channel monotone map whose surviving extreme is found
+    with ONE max chain by sign-folding: with ``s = sign(inv)`` and
+    ``y' = s * y``, ``max_k (y'_j - y'_i) = s * (extreme_j - y_i)`` —
+    no separate min pass. Train-mode BatchNorm statistics over the
+    edge population come from neighbor SUMS of ``[y, y^2]``
+    (ops/gather_sum.py):
 
       sum_e (y_j - y_i)   = sum_n s1_n - cnt_n y_n
       sum_e (y_j - y_i)^2 = sum_n s2_n - 2 y_n s1_n + cnt_n y_n^2
 
     Everything is exact up to float reassociation; gradients route
-    through the single-winner max/min VJPs exactly like the edge path.
+    through the single-winner max VJP exactly like the edge path.
     The parameter tree (lin0/kernel, bn0/BatchNorm_0/{scale,bias} +
     batch_stats {mean,var}) is IDENTICAL to ``MLP([C])``, so
     checkpoints and the torch importer are path-compatible.
@@ -166,12 +164,7 @@ class EdgeMaxMLP(lnn.Module):
         dt = jnp.dtype(self.dtype) if self.dtype else jnp.float32
         y = lnn.Dense(self.out_channels, use_bias=False, dtype=dt,
                       name="lin0")(x)
-        y = y.astype(dt)
-        # bf16 y runs the gather kernels single-pass (half the FLOPs).
-        mx, mn = gd.nbr_minmax(y, self_slot0=True)
-        y = y.astype(jnp.float32)
-        hmax = mx - y
-        hmin = mn - y
+        y = y.astype(dt).astype(jnp.float32)
 
         mean = var = None
         if train:
@@ -188,7 +181,14 @@ class EdgeMaxMLP(lnn.Module):
             mean = sum_h / e_total
             var = jnp.maximum(sum_h2 / e_total - mean * mean, 0.0)
 
-        out = _RawBNHolder(name="bn0")(hmax, hmin, mean, var, train)
+        inv, mean_, bias = _BNStateHolder(name="bn0")(
+            self.out_channels, mean, var, train)
+        sign = jnp.where(inv >= 0, 1.0, -1.0)
+        yp = (y * sign).astype(dt)  # bf16 kernels run single-pass
+        mxp = gd.nbr_max(yp, self_slot0=True)
+        h_star = sign * (mxp.astype(jnp.float32)
+                         - yp.astype(jnp.float32))
+        out = leaky_relu02((h_star - mean_) * inv + bias)
         any_valid = jnp.any(gd.nbr_mask, axis=-1)[..., None]
         return jnp.where(any_valid, out, 0.0).astype(dt)
 
@@ -214,13 +214,13 @@ class PointMaxMLP(lnn.Module):
     Training runs the reference pipeline (Dense -> BatchNorm ->
     LeakyReLU per point, then the fused neighbor gather+max, which has
     the single-winner VJP). Eval commutes the aggregation through the
-    monotone per-channel affine+LeakyReLU: the fused
-    ``gather_matmul_minmax`` kernel gathers the INPUT features (width
-    C_in instead of C_out — 1.6x fewer one-hot MACs on the reference's
-    last conv) and applies the Dense kernel in VMEM; the true max of
-    the nonlinear edge values is then ``max(f(max_k y), f(min_k y))``
-    whatever the sign of each channel's BatchNorm scale. Parameter
-    tree (lin0/kernel, bn0/BatchNorm_0/...) is identical to
+    monotone per-channel affine+LeakyReLU with SIGN-FOLDING: columns
+    of the Dense kernel are flipped by ``sign(inv)`` so one max chain
+    finds the surviving extreme (``max_k s*y = s * extreme``), and the
+    fused ``gather_matmul_max`` kernel gathers the INPUT features
+    (width C_in instead of C_out — 1.6x fewer one-hot MACs on the
+    reference's last conv) and applies the flipped kernel in VMEM.
+    Parameter tree (lin0/kernel, bn0/BatchNorm_0/...) is identical to
     ``MLP([C])``, so checkpoints and the torch importer are
     path-compatible."""
 
@@ -233,7 +233,6 @@ class PointMaxMLP(lnn.Module):
 
         dt = jnp.dtype(self.dtype) if self.dtype else jnp.float32
         w = _Kernel(self.out_channels, name="lin0")(x)
-        bn = BatchNorm(name="bn0")
 
         def pad128(c):
             return -(-c // 128) * 128
@@ -245,17 +244,17 @@ class PointMaxMLP(lnn.Module):
                  and jax.default_backend() == "tpu"
                  and pad128(x.shape[-1]) < pad128(self.out_channels))
         if fused:
-            mx, mn = gd.nbr_matmul_minmax(x.astype(dt), w.astype(dt),
-                                          self_slot0=True)
-            # ONE BatchNorm call on the stacked pair (a second call
-            # would auto-create a second lnn.BatchNorm under the
-            # wrapper); eval BN is an elementwise per-channel affine,
-            # so stacking is transparent.
-            both = leaky_relu02(bn(jnp.stack([mx, mn]), train=False))
-            out = jnp.maximum(both[0], both[1])
+            inv, mean_, bias = _BNStateHolder(name="bn0")(
+                self.out_channels, None, None, False)
+            sign = jnp.where(inv >= 0, 1.0, -1.0)
+            wp = (w * sign[None, :]).astype(dt)
+            mxp = gd.nbr_matmul_max(x.astype(dt), wp, self_slot0=True)
+            y_star = sign * mxp.astype(jnp.float32)
+            out = leaky_relu02((y_star - mean_) * inv + bias)
             any_valid = jnp.any(gd.nbr_mask, axis=-1)[..., None]
             out = jnp.where(any_valid, out, 0.0).astype(dt)
         else:
+            bn = BatchNorm(name="bn0")
             y = jnp.dot(x.astype(dt), w.astype(dt))  # == Dense(dtype=dt)
             h = leaky_relu02(bn(y, train=train, mask=stats_mask))
             out = gd.nbr_max(h.astype(dt), self_slot0=True)

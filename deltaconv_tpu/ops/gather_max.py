@@ -531,6 +531,71 @@ def _mm_minmax_kernel(idx_ref, mask_ref, x_ref, w_ref, mx_ref, mn_ref,
     mn_ref[0] = worst.astype(mn_ref.dtype)
 
 
+def _mm_max_kernel(idx_ref, mask_ref, x_ref, w_ref, mx_ref,
+                   *, k, n, self0=False):
+    """Single-chain variant of ``_mm_minmax_kernel``: callers that
+    sign-fold the downstream monotone map into ``w``'s columns
+    (``w' = w * sign(slope)``, so ``max_k y' = sign * extreme``) only
+    need the max — half the select work and half the output traffic."""
+    t = idx_ref.shape[1]
+    k0 = 1 if self0 else 0
+    onehot = build_onehot(idx_ref, t, n, k, k0)
+    xg = jnp.dot(onehot, x_ref[0],
+                 preferred_element_type=jnp.float32)  # [K*T, C_in]
+    y = jnp.dot(xg.astype(jnp.bfloat16), w_ref[...],
+                preferred_element_type=jnp.float32)  # [K*T, C_out]
+    c = y.shape[-1]
+    best = jnp.full((t, c), _NEG, jnp.float32)
+    for kk in range(k):
+        if self0 and kk == 0:
+            vk = jnp.dot(_self_rows(x_ref, t), w_ref[...],
+                         preferred_element_type=jnp.float32)
+        else:
+            i0 = (kk - k0) * t
+            vk = y[i0:i0 + t, :]
+        ok = mask_ref[0, :, kk][:, None] > 0
+        best = jnp.maximum(best, jnp.where(ok, vk, _NEG))
+    mx_ref[0] = best.astype(mx_ref.dtype)
+
+
+def gather_matmul_max(x, w, idx, mask, tile=128, interpret=False,
+                      self_slot0=False):
+    """``x [B, N, C_in] bf16, w [C_in, C_out] bf16 -> max`` of
+    ``(x @ w)[idx]`` over valid neighbors — the single-chain eval fast
+    path (the caller sign-folds the BatchNorm slope into ``w``, see
+    ``_mm_max_kernel``). Forward-only. Rows with no valid neighbor
+    return ``-3e38`` (callers mask them)."""
+    b, n, c_in = x.shape
+    c_out = w.shape[-1]
+    k = idx.shape[-1]
+    tile = fit_tile(tile, k * (2 * n + 6 * c_in + 4 * c_out),
+                    budget=12 * 2**20)
+    idx_p = _pad_to(idx.astype(jnp.int32), tile, 1)
+    mask_p = _pad_to(mask.astype(jnp.int32), tile, 1)
+    n_pad = idx_p.shape[1]
+    self0 = self_slot0 and n_pad == n
+
+    spec_t = pl.BlockSpec((1, tile, k), lambda ib, it: (ib, it, 0),
+                          memory_space=pltpu.VMEM)
+    spec_o = pl.BlockSpec((1, tile, c_out), lambda ib, it: (ib, it, 0),
+                          memory_space=pltpu.VMEM)
+    mx = pl.pallas_call(
+        functools.partial(_mm_max_kernel, k=k, n=n, self0=self0),
+        grid=(b, n_pad // tile),
+        in_specs=[
+            spec_t, spec_t,
+            pl.BlockSpec((1, n, c_in), lambda ib, it: (ib, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_in, c_out), lambda ib, it: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=spec_o,
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, c_out), jnp.bfloat16),
+        interpret=interpret,
+    )(idx_p, mask_p, x.astype(jnp.bfloat16), w.astype(jnp.bfloat16))
+    return mx[:, :n]
+
+
 def gather_matmul_minmax(x, w, idx, mask, tile=128, interpret=False,
                          self_slot0=False):
     """``x [B, N, C_in] bf16, w [C_in, C_out] bf16 -> (max, min)`` of

@@ -131,6 +131,14 @@ class ShardedGradDiv:
                     preferred_element_type=jnp.float32).astype(x.dtype)
         return self.nbr_minmax(y, self_slot0)
 
+    def nbr_matmul_max(self, x, w, self_slot0: bool = True):
+        y = jnp.dot(self._full(x), w,
+                    preferred_element_type=jnp.float32).astype(x.dtype)
+        g = y[self.nbr_idx].astype(jnp.float32)
+        out = jnp.max(jnp.where(self.nbr_mask[..., None], g, _NEG),
+                      axis=-2)
+        return out.astype(x.dtype)
+
     def nbr_sum(self, h, mask=None):
         raise NotImplementedError(
             "point-sharded training is not supported (eval only): "
