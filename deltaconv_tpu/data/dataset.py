@@ -138,30 +138,58 @@ class BatchLoader:
     "category": [B,16]}`` — ready for the jitted train step. The last
     incomplete batch is dropped by default so every step compiles to
     the same shapes.
+
+    Multi-host (DCN) input sharding: on a pod, every host constructs
+    the loader with the SAME seed and its own
+    ``process_index``/``process_count`` (defaults:
+    ``jax.process_index()/process_count()`` when ``host_shard=True``).
+    All hosts then draw the identical global shuffle order and each
+    yields its disjoint ``batch_size``-slice of every global batch of
+    ``batch_size * process_count`` clouds — the per-host input split
+    for data parallelism across DCN (SURVEY.md §2.7); the mesh's
+    gradient all-reduce stitches the global batch back together.
     """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
-                 drop_last: bool = True, seed: int = 0):
+                 drop_last: bool = True, seed: int = 0,
+                 host_shard: bool = False, process_index: int = None,
+                 process_count: int = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self._rng = np.random.default_rng(seed)
+        if host_shard and process_count is None:
+            import jax
+
+            process_index = jax.process_index()
+            process_count = jax.process_count()
+        self.process_index = process_index or 0
+        self.process_count = process_count or 1
+        if self.process_count > 1 and not drop_last:
+            raise ValueError(
+                "host-sharded loading requires drop_last=True "
+                "(every host must yield the same number of batches)"
+            )
 
     def __len__(self) -> int:
         n = len(self.dataset)
+        gbs = self.batch_size * self.process_count
         if self.drop_last:
-            return n // self.batch_size
-        return (n + self.batch_size - 1) // self.batch_size
+            return n // gbs
+        return (n + gbs - 1) // gbs
 
     def __iter__(self) -> Iterator[dict]:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self._rng.shuffle(order)
         bs = self.batch_size
-        limit = (len(order) // bs) * bs if self.drop_last else len(order)
-        for start in range(0, limit, bs):
-            clouds = [self.dataset[int(i)] for i in order[start:start + bs]]
+        gbs = bs * self.process_count
+        limit = (len(order) // gbs) * gbs if self.drop_last else len(order)
+        lo = self.process_index * bs
+        for start in range(0, limit, gbs):
+            mine = order[start + lo:start + lo + bs]
+            clouds = [self.dataset[int(i)] for i in mine]
             yield self.collate(clouds)
 
     @staticmethod

@@ -177,3 +177,36 @@ def test_ply_roundtrip(tmp_path):
     c = read_ply(str(p))
     assert c.pos.shape == (3, 3)
     assert c.face.shape == (3, 1)
+
+
+def test_batchloader_host_sharding():
+    """Per-host loaders with a shared seed partition every global
+    batch disjointly and identically to the single-host order."""
+    import numpy as np
+
+    from deltaconv_tpu.data import BatchLoader, Cloud
+
+    class _List:
+        def __init__(self, c):
+            self.c = c
+
+        def __len__(self):
+            return len(self.c)
+
+        def __getitem__(self, i):
+            return self.c[i]
+
+    rng = np.random.default_rng(0)
+    ds = _List([Cloud(pos=rng.random((8, 3)).astype(np.float32),
+                      y=np.int64(i)) for i in range(20)])
+
+    global_loader = BatchLoader(ds, 8, shuffle=True, seed=7)
+    shards = [BatchLoader(ds, 4, shuffle=True, seed=7,
+                          process_index=p, process_count=2)
+              for p in range(2)]
+    assert len(global_loader) == len(shards[0]) == len(shards[1]) == 2
+
+    for gb, b0, b1 in zip(global_loader, *shards):
+        merged = np.concatenate([b0["label"], b1["label"]])
+        np.testing.assert_array_equal(merged, gb["label"])
+        assert len(set(merged.tolist())) == 8  # disjoint within batch
