@@ -163,11 +163,24 @@ def gather_rows(table, idx, tile=128, interpret=False, pad_cols=False):
     return _fwd(table, idx, tile, interpret, pad_cols)
 
 
+_VMEM_BUDGET = 12 * 2**20
+
+
 def _fwd(table, idx, tile, interpret, pad_cols=False):
     from .gather_max import fit_tile
 
     b, n, c_in = table.shape
     k = idx.shape[-1]
+    # Wide tables at large N: the whole [N, 2C] hi/lo table rides VMEM
+    # — when it alone crowds the scoped budget, gather half the
+    # channels per kernel and concatenate (exact; the one-hot build
+    # repeats, the matmuls don't).
+    if not pad_cols and c_in > 8 and n * 2 * (c_in + 8) * 2 > \
+            _VMEM_BUDGET // 2:
+        h = (c_in + 1) // 2
+        left = _fwd(table[..., :h], idx, tile, interpret)
+        right = _fwd(table[..., h:], idx, tile, interpret)
+        return jnp.concatenate([left, right], axis=1)
     tile = fit_tile(tile, k * (2 * n + 12 * c_in))
     # The component-major output block puts the point tile on the LANE
     # axis, which must stay 128-wide; when the all-slots one-hot
@@ -244,6 +257,15 @@ def _scatter_impl(g, idx, tshape, tile, interpret):
     b, n, c_in = tshape
     c = g.shape[1]
     k = idx.shape[-1]
+    # The [N, C] f32 accumulator persists across the whole grid; split
+    # channels when accumulator + edge rows exceed the scoped budget
+    # (observed: C=512 at N=8192 allocates 28.6 MB > 16 MB).
+    if c > 8 and n * 4 * c + 128 * k * 8 * c > _VMEM_BUDGET:
+        h = (c + 1) // 2
+        left = _scatter_impl(g[:, :h], idx, (b, n, h), tile, interpret)
+        right = _scatter_impl(g[:, h:], idx, (b, n, c - h), tile,
+                              interpret)
+        return jnp.concatenate([left, right], axis=2)[..., :c_in]
     tile = fit_tile(tile, k * (2 * n + 12 * c), fixed_bytes=n * 4 * c)
     nb, n_tab = 1, n
     if tile < 128:

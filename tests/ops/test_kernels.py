@@ -686,3 +686,24 @@ def test_wls_fused_matches_reference_on_tpu(rng):
     np.testing.assert_allclose(
         np.asarray(ref.div_coef), np.asarray(fused.div_coef), atol=5e-5
     )
+
+
+def test_gather_scatter_channel_split(rng, monkeypatch):
+    """Wide-channel gathers/scatters recurse into channel halves when
+    the VMEM estimate exceeds budget — results must be identical."""
+    import deltaconv_tpu.ops.gather_rows as GR
+
+    b, n, k, c = 2, 64, 6, 20
+    table = jnp.asarray(rng.standard_normal((b, n, c)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, n, (b, n, k)).astype(np.int32))
+    g = jnp.asarray(rng.standard_normal((b, c, k, n)).astype(np.float32))
+
+    whole = GR.gather_rows(table, idx, 128, True)
+    sc_whole = GR.scatter_rows(g, idx, n, 128, True)
+    monkeypatch.setattr(GR, "_VMEM_BUDGET", 1)
+    split = GR.gather_rows(table, idx, 128, True)
+    sc_split = GR.scatter_rows(g, idx, n, 128, True)
+    np.testing.assert_allclose(np.asarray(split), np.asarray(whole),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sc_split), np.asarray(sc_whole),
+                               atol=1e-6)
