@@ -39,19 +39,30 @@ from .wls_fused import _wls_math
 
 __all__ = ["fused_gather_wls", "fused_dense_build"]
 
+# NOTE (round 2): a gather+planes-ONLY kernel (emit the [12, K, T]
+# plane block for the separate wide-tile wls kernel) was built and
+# abandoned: the original concatenate-based variant HUNG the Mosaic
+# compile, and the stack-based variant allocated 22.6 MB of scoped
+# vmem even at B=2/N=256/K=8 (limit 16 MB) despite every live tensor
+# being <1 MB. The differentiable gather_rows + XLA plane pipeline
+# stays the only edge-plane path; expected win was only ~0.3 ms.
 
-def _kernel(avg_ref, idx_ref, maskt_ref, hilo_ref, gc_ref, dc_ref,
-            rn_ref, *, k, n, kernel_width, regularizer):
+
+def _edge_planes(idx_ref, maskt_ref, hilo_ref, t0):
+    """Shared gather + tangent-plane edge math: returns the first 11
+    WLS input planes ``[11, K, T]`` (everything but the avg-bandwidth
+    broadcast) plus ``(dist, emk)`` for bandwidth reductions.
+
+    Component-major gather via TRANSPOSED one-hot contractions: per
+    slot, ohT[m, e] = [idx[e] == m] and hilo^T @ ohT lands [32, T]
+    directly with points on the lanes — no [K*T, 16] -> [16, K, T]
+    relayout, and the one-hot lives one slot at a time (VMEM stays
+    flat in N).
+    """
     t = idx_ref.shape[1]
-    t0 = pl.program_id(1) * t
+    k = idx_ref.shape[2]
+    n = hilo_ref.shape[1]
     c = hilo_ref.shape[2] // 2
-
-    # Component-major gather via TRANSPOSED one-hot contractions: per
-    # slot, ohT[m, e] = [idx[e] == m] and hilo^T @ ohT lands [32, T]
-    # directly with points on the lanes — no [K*T, 16] -> [16, K, T]
-    # relayout, and the tile can be 512 wide (the one-hot lives one
-    # slot at a time), which is what keeps the ~200-op WLS chain at
-    # full lane utilization.
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (n, t), 0)
     idx = idx_ref[0]  # [T, K]
     own_t = hilo_ref[0, pl.ds(t0, t), :].T.astype(jnp.float32)  # [32,T]
@@ -87,9 +98,8 @@ def _kernel(avg_ref, idx_ref, maskt_ref, hilo_ref, gc_ref, dc_ref,
     u = ox * xbx + oy * xby + oz * xbz
     v = ox * ybx + oy * yby + oz * ybz
     emk = maskt_ref[0].astype(jnp.float32)  # [K, T]
-    avg = avg_ref[pl.program_id(0)]  # scalar-prefetch: [B] in SMEM
 
-    planes = jnp.stack([
+    planes11 = [
         u, v, dist, patch, emk,
         xbx * xgx + xby * xgy + xbz * xgz,
         xbx * ygx + xby * ygy + xbz * ygz,
@@ -97,8 +107,17 @@ def _kernel(avg_ref, idx_ref, maskt_ref, hilo_ref, gc_ref, dc_ref,
         ybx * ygx + yby * ygy + ybz * ygz,
         nx * xgx + ny * xgy + nz * xgz,
         nx * ygx + ny * ygy + nz * ygz,
-        jnp.full((k, t), avg, jnp.float32),
-    ])  # [12, K, T]
+    ]  # 11 x [K, T]
+    return planes11, dist, emk
+
+
+def _kernel(avg_ref, idx_ref, maskt_ref, hilo_ref, gc_ref, dc_ref,
+            rn_ref, *, k, n, kernel_width, regularizer):
+    t = idx_ref.shape[1]
+    t0 = pl.program_id(1) * t
+    planes11, _, _ = _edge_planes(idx_ref, maskt_ref, hilo_ref, t0)
+    avg = avg_ref[pl.program_id(0)]  # scalar-prefetch: [B] in SMEM
+    planes = jnp.stack(planes11 + [jnp.full((k, t), avg, jnp.float32)])
 
     g, d = _wls_math(planes, kernel_width, regularizer)  # [2, K, T] x2
 

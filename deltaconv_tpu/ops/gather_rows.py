@@ -258,9 +258,9 @@ def _scatter_impl(g, idx, tshape, tile, interpret):
     c = g.shape[1]
     k = idx.shape[-1]
     # The [N, C] f32 accumulator persists across the whole grid; split
-    # channels when accumulator + edge rows exceed the scoped budget
-    # (observed: C=512 at N=8192 allocates 28.6 MB > 16 MB).
-    if c > 8 and n * 4 * c + 128 * k * 8 * c > _VMEM_BUDGET:
+    # channels while it alone crowds the scoped budget (observed:
+    # C=512 at N=8192 allocates 28.6 MB > 16 MB).
+    if c > 8 and n * 4 * c > _VMEM_BUDGET // 2:
         h = (c + 1) // 2
         left = _scatter_impl(g[:, :h], idx, (b, n, h), tile, interpret)
         right = _scatter_impl(g[:, h:], idx, (b, n, c - h), tile,
@@ -270,8 +270,17 @@ def _scatter_impl(g, idx, tshape, tile, interpret):
     nb, n_tab = 1, n
     if tile < 128:
         tile = 128
-        if n > _MAX_ONEHOT_COLS:
-            nb, _, n_tab = _block_cols(n)
+        # Column width sized to what remains after the accumulator,
+        # the cotangent block and the hi/lo edge rows — Mosaic holds
+        # BOTH the [K*T, W] one-hot and its transpose on the stack.
+        fixed = n * 4 * c + tile * k * 8 * c + k * tile * c * 8
+        avail = max(_VMEM_BUDGET - fixed, 2 * 2**20)
+        w_cap = max(256, avail // (2 * k * tile * 2))
+        if n > w_cap:
+            nb = -(-n // w_cap)
+            w = -(-n // nb)
+            w = w + ((-w) % 8)
+            n_tab = nb * w
     idx_p = _pad_to(idx.astype(jnp.int32), tile, 1)
     n_pad = idx_p.shape[1]
     g_p = _pad_to(g.astype(jnp.float32), tile, 3)

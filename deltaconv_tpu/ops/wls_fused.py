@@ -256,6 +256,40 @@ def build_grad_div_fused(pos, normal, x_basis, y_basis, nbr_idx, nbr_mask,
     reductions. Positions carry no requested gradients in training, so
     the provenance swap is exact for the parameter VJP.
     """
+    n = pos.shape[1]
+    pm = jnp.any(nbr_mask, axis=2).astype(jnp.float32)
+    edges = _edge_planes_xla(pos, normal, x_basis, y_basis,
+                             nbr_idx, nbr_mask, pm, avg, interpret)
+
+    # Pad N (the lane axis) to the tile size.
+    n_pad = n + ((-n) % tile)
+    if n_pad != n:
+        edges = jnp.pad(edges, ((0, 0), (0, 0), (0, 0), (0, n_pad - n)))
+
+    g_coef, d_coef = _wls_pallas(edges, float(kernel_width),
+                                 float(regularizer), tile, interpret)
+    # [B, 2, K, N] -> [B, N, K, 2]
+    g_coef = jnp.transpose(g_coef[..., :n], (0, 3, 2, 1))
+    d_coef = jnp.transpose(d_coef[..., :n], (0, 3, 2, 1))
+
+    if normalized:
+        # Per-cloud infinity norm of grad; div scales identically
+        # (it is the grad row composed with an orthogonal-ish map).
+        sum_abs = jnp.sum(jnp.abs(g_coef), axis=2)  # [B, N, 2]
+        row_norm = jnp.linalg.norm(sum_abs, axis=-1) * pm  # [B, N]
+        inf_norm = jnp.max(row_norm, axis=1)  # [B]
+        scale = jnp.where(inf_norm > 1e-5, 1.0 / inf_norm, 1.0)
+        g_coef = g_coef * scale[:, None, None, None]
+        d_coef = d_coef * scale[:, None, None, None]
+
+    return GradDiv(nbr_idx=nbr_idx, nbr_mask=nbr_mask,
+                   grad_coef=g_coef, div_coef=d_coef)
+
+
+def _edge_planes_xla(pos, normal, x_basis, y_basis, nbr_idx, nbr_mask,
+                     pm, avg, interpret):
+    """Differentiable edge-plane construction (the training path):
+    Pallas gather_rows + XLA elementwise plane math."""
     b, n, _ = pos.shape
     k = nbr_idx.shape[-1]
     em = nbr_mask.astype(jnp.float32)
@@ -295,7 +329,6 @@ def build_grad_div_fused(pos, normal, x_basis, y_basis, nbr_idx, nbr_mask,
 
     emk = jnp.moveaxis(em, -1, 1)  # [B, K, N]
 
-    pm = jnp.any(nbr_mask, axis=2).astype(jnp.float32)
     if avg is None:
         # Per-cloud mean of per-point mean edge lengths.
         cnt = jnp.maximum(jnp.sum(emk, axis=1), 1.0)
@@ -307,7 +340,7 @@ def build_grad_div_fused(pos, normal, x_basis, y_basis, nbr_idx, nbr_mask,
     # Planes stay [B, K, N] end to end: the WLS kernel reduces over K
     # on the sublane axis with points on lanes, so NO transpose sits
     # between the gather and the kernel.
-    edges = jnp.stack([
+    return jnp.stack([
         u, v, dist, patch, emk,
         xbx * xgx + xby * xgy + xbz * xgz,  # xb_i . xb_j
         xbx * ygx + xby * ygy + xbz * ygz,  # xb_i . yb_j
@@ -317,27 +350,3 @@ def build_grad_div_fused(pos, normal, x_basis, y_basis, nbr_idx, nbr_mask,
         nx * ygx + ny * ygy + nz * ygz,     # n_i . yb_j
         jnp.broadcast_to(avg[:, None, None], (b, k, n)),
     ], axis=1)  # [B, 12, K, N]
-
-    # Pad N (the lane axis) to the tile size.
-    n_pad = n + ((-n) % tile)
-    if n_pad != n:
-        edges = jnp.pad(edges, ((0, 0), (0, 0), (0, 0), (0, n_pad - n)))
-
-    g_coef, d_coef = _wls_pallas(edges, float(kernel_width),
-                                 float(regularizer), tile, interpret)
-    # [B, 2, K, N] -> [B, N, K, 2]
-    g_coef = jnp.transpose(g_coef[..., :n], (0, 3, 2, 1))
-    d_coef = jnp.transpose(d_coef[..., :n], (0, 3, 2, 1))
-
-    if normalized:
-        # Per-cloud infinity norm of grad; div scales identically
-        # (it is the grad row composed with an orthogonal-ish map).
-        sum_abs = jnp.sum(jnp.abs(g_coef), axis=2)  # [B, N, 2]
-        row_norm = jnp.linalg.norm(sum_abs, axis=-1) * pm  # [B, N]
-        inf_norm = jnp.max(row_norm, axis=1)  # [B]
-        scale = jnp.where(inf_norm > 1e-5, 1.0 / inf_norm, 1.0)
-        g_coef = g_coef * scale[:, None, None, None]
-        d_coef = d_coef * scale[:, None, None, None]
-
-    return GradDiv(nbr_idx=nbr_idx, nbr_mask=nbr_mask,
-                   grad_coef=g_coef, div_coef=d_coef)
