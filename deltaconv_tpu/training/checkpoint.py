@@ -41,9 +41,16 @@ def latest_step(ckpt_dir: str) -> Optional[int]:
     return max(steps) if steps else None
 
 
-def restore_any(path: str, target_state):
+def restore_any(path: str, target_state, params_only: bool = False):
     """Restores either an orbax checkpoint dir/step or a PyTorch
-    ``.pt`` state_dict (via the weight importer) into a TrainState."""
+    ``.pt`` state_dict (via the weight importer) into a TrainState.
+
+    ``params_only``: restore parameters + BatchNorm statistics only,
+    keeping the target's optimizer state — eval-only consumers must
+    not depend on the TRAINING run's optimizer/schedule tree (a
+    checkpoint written under a cosine schedule has schedule state an
+    eval-time constant-lr state lacks).
+    """
     if path.endswith(".pt") or path.endswith(".pth"):
         from ..utils.torch_import import import_state_dict, \
             load_torch_state_dict
@@ -56,16 +63,20 @@ def restore_any(path: str, target_state):
             if noteworthy:
                 print(f"[torch import] skipped keys: {noteworthy}")
         return target_state.replace(params=params, batch_stats=batch_stats)
-    return restore_checkpoint(path, target_state)
+    return restore_checkpoint(path, target_state,
+                              params_only=params_only)
 
 
 def restore_checkpoint(ckpt_dir: str, target_state,
-                       step: Optional[int] = None):
+                       step: Optional[int] = None,
+                       params_only: bool = False):
     """Restores a TrainState saved by :func:`save_checkpoint`.
 
     Args:
       ckpt_dir: checkpoint root.
-      target_state: a template TrainState with matching structure.
+      target_state: a template TrainState with matching structure
+        (``params_only=True`` relaxes this to the params/batch_stats
+        subtrees — the optimizer tree may differ).
       step: specific step; defaults to the latest.
     """
     if step is None:
@@ -73,5 +84,12 @@ def restore_checkpoint(ckpt_dir: str, target_state,
         if step is None:
             raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
     path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step}")
+    if params_only:
+        # Structure-free read, then graft the two weight subtrees:
+        # restoring into a full TrainState template would require the
+        # SAVING run's exact optimizer/schedule state classes.
+        raw = _checkpointer().restore(path)
+        return target_state.replace(params=raw["params"],
+                                    batch_stats=raw["batch_stats"])
     restored = _checkpointer().restore(path, item=jax.device_get(target_state))
     return restored

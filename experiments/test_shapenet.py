@@ -45,7 +45,7 @@ def main():
             "category": jnp.asarray(example["category"]),
         },
     )
-    state = restore_any(args.checkpoint, state)
+    state = restore_any(args.checkpoint, state, params_only=True)
 
     mean_iou, per_class = evaluate_voting(
         model, state, test_loader, augment, num_votes=args.num_votes,

@@ -156,3 +156,61 @@ def test_train_modelnet_cli(tmp_path, rng):
     )
     assert result.returncode == 0, result.stderr[-2000:]
     assert "Test accuracy" in result.stdout
+
+
+def test_shapenet_cli_train_and_voting_eval(tmp_path, rng):
+    """Drive the segmentation CLIs end-to-end on a synthetic ShapeNet
+    fixture: train_shapenet.py for one epoch (checkpoint written),
+    then test_shapenet.py voting evaluation from that checkpoint."""
+    import json as _json
+
+    root = tmp_path / "shapenet"
+    raw = root / "raw"
+    cat_ids = ["02691156", "02773838"]  # Airplane, Bag
+    names = []
+    for cid in cat_ids:
+        os.makedirs(raw / cid)
+        for i in range(6):
+            n = 40
+            arr = np.concatenate(
+                [rng.random((n, 6)),
+                 rng.integers(0, 4, (n, 1)).astype(float)], axis=1)
+            fn = f"{cid}/model{i}.txt"
+            np.savetxt(raw / fn, arr)
+            names.append(f"shape_data/{cid}/model{i}")
+    split_dir = raw / "train_test_split"
+    os.makedirs(split_dir)
+    for split, sel in (("train", names[:8]), ("val", names[8:10]),
+                       ("test", names[10:])):
+        with open(split_dir / f"shuffled_{split}_file_list.json",
+                  "w") as f:
+            _json.dump(sel, f)
+    open(raw / ".extracted", "w").close()
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", ".."))
+    exp = os.path.join(env["PYTHONPATH"], "experiments")
+    common = [
+        "--num_points", "32", "--batch_size", "4", "--k", "8",
+        "--data_root", str(root), "--logdir", str(tmp_path / "logs"),
+        "--operator_dtype", "float32", "--no_data_parallel",
+    ]
+    result = subprocess.run(
+        [sys.executable, os.path.join(exp, "train_shapenet.py"),
+         "--epochs", "1"] + common,
+        capture_output=True, text=True, env=env, timeout=900)
+    assert result.returncode == 0, result.stderr[-2000:]
+    assert "mIoU" in result.stdout or "accuracy" in result.stdout
+
+    ckpts = list((tmp_path / "logs").rglob("step_*"))
+    assert ckpts, "train_shapenet wrote no checkpoint"
+    result = subprocess.run(
+        [sys.executable, os.path.join(exp, "test_shapenet.py"),
+         "--checkpoint", str(sorted(ckpts)[-1].parent),
+         "--num_votes", "2"]
+        + common,
+        capture_output=True, text=True, env=env, timeout=900)
+    assert result.returncode == 0, result.stderr[-2000:]
+    assert "mIoU" in result.stdout
