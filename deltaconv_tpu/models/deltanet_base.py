@@ -161,6 +161,9 @@ class DeltaNetBase(lnn.Module):
     # f32 BatchNorm statistics and parameters. Geometry (operator
     # construction) always runs f32.
     compute_dtype: Optional[str] = None
+    # Mesh axis of a sharded point dimension (point-sharded training):
+    # BatchNorm/edge statistics inside the convs psum over it.
+    point_axis_name: Optional[str] = None
 
     @lnn.compact
     def __call__(self, pos, normal=None, features=None, point_mask=None,
@@ -224,6 +227,7 @@ class DeltaNetBase(lnn.Module):
                 centralized=(self.centralize_first and i == 0),
                 vector=not last,
                 dtype=self.compute_dtype,
+                axis_name=self.point_axis_name,
                 name=f"conv{i}",
             )(x, v, gd, train=train, point_mask=point_mask)
             out.append(x)

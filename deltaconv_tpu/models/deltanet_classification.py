@@ -57,13 +57,14 @@ class DeltaNetClassification(lnn.Module):
             operator_dtype=self.operator_dtype,
             compute_dtype=self.compute_dtype,
             knn_method=self.knn_method,
+            point_axis_name=self.point_axis_name,
             name="deltanet_base",
         )(pos, normal=normal, features=features, point_mask=point_mask,
           train=train, operators=operators)
 
         x = jnp.concatenate(conv_out, axis=-1)
         x = MLP([self.embedding_size], dtype=self.compute_dtype,
-                name="lin_embedding")(
+                axis_name=self.point_axis_name, name="lin_embedding")(
             x, train=train, mask=point_mask)
 
         ax = self.point_axis_name

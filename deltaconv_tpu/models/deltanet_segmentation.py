@@ -62,13 +62,14 @@ class DeltaNetSegmentation(lnn.Module):
             operator_dtype=self.operator_dtype,
             compute_dtype=self.compute_dtype,
             knn_method=self.knn_method,
+            point_axis_name=self.point_axis_name,
             name="deltanet_base",
         )(pos, normal=normal, features=features, point_mask=point_mask,
           train=train, operators=operators)
 
         x = jnp.concatenate(conv_out, axis=-1)
         x = MLP([self.embedding_size], dtype=self.compute_dtype,
-                name="lin_global")(
+                axis_name=self.point_axis_name, name="lin_global")(
             x, train=train, mask=point_mask)
 
         n = pos.shape[-2]
@@ -92,10 +93,12 @@ class DeltaNetSegmentation(lnn.Module):
 
         x = jnp.concatenate([x_max] + conv_out, axis=-1)
 
-        x = MLP([256], dtype=self.compute_dtype, name="head0")(
+        x = MLP([256], dtype=self.compute_dtype, name="head0",
+                axis_name=self.point_axis_name)(
             x, train=train, mask=point_mask)
         x = lnn.Dropout(self.dropout, deterministic=not train)(x)
-        x = MLP([256], dtype=self.compute_dtype, name="head1")(
+        x = MLP([256], dtype=self.compute_dtype, name="head1",
+                axis_name=self.point_axis_name)(
             x, train=train, mask=point_mask)
         x = lnn.Dropout(self.dropout, deterministic=not train)(x)
         x = lnn.Dense(128, name="head2")(x)

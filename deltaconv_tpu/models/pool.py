@@ -14,21 +14,27 @@ import jax.numpy as jnp
 __all__ = ["global_max_pool", "global_mean_pool"]
 
 
+def _cross_shard_max(x, axis_name):
+    """Differentiable max over a mesh axis (``lax.pmax`` has no AD
+    rule): all-gather the per-shard maxima and reduce locally."""
+    return jnp.max(jax.lax.all_gather(x, axis_name, axis=0), axis=0)
+
+
 def global_max_pool(x, point_mask=None, axis_name=None):
     """``[B, N, C] -> [B, C]`` masked max over points.
 
     ``axis_name``: when the point axis is sharded over a mesh axis
-    (point-sharding), completes the reduction with ``lax.pmax``.
+    (point-sharding), completes the reduction across shards.
     """
     if point_mask is None:
         out = jnp.max(x, axis=-2)
-        return jax.lax.pmax(out, axis_name) if axis_name else out
+        return _cross_shard_max(out, axis_name) if axis_name else out
     mask = point_mask[..., None]
     neg = jnp.asarray(-jnp.inf, x.dtype)
     out = jnp.max(jnp.where(mask, x, neg), axis=-2)
     any_valid = jnp.any(point_mask, axis=-1)[..., None]
     if axis_name:
-        out = jax.lax.pmax(out, axis_name)
+        out = _cross_shard_max(out, axis_name)
         any_valid = jax.lax.pmax(any_valid, axis_name)
     return jnp.where(any_valid, out, 0.0)
 

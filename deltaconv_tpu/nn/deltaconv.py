@@ -154,6 +154,9 @@ class EdgeMaxMLP(lnn.Module):
 
     out_channels: int
     dtype: Optional[str] = None
+    # Mesh axis for cross-shard edge statistics (point-sharded
+    # training): the BatchNorm moments sum over ALL edges of the cloud.
+    axis_name: Optional[str] = None
 
     @lnn.compact
     def __call__(self, x, gd, train: bool = False, stats_mask=None):
@@ -174,10 +177,15 @@ class EdgeMaxMLP(lnn.Module):
             c = self.out_channels
             s1, s2 = s[..., :c], s[..., c:]
             cnt = jnp.sum(smask, axis=-1).astype(jnp.float32)[..., None]
-            e_total = jnp.maximum(jnp.sum(cnt), 1.0)
+            e_total = jnp.sum(cnt)
             lead = tuple(range(y.ndim - 1))
             sum_h = jnp.sum(s1 - cnt * y, axis=lead)
             sum_h2 = jnp.sum(s2 - 2.0 * y * s1 + cnt * y * y, axis=lead)
+            if self.axis_name:
+                sum_h = jax.lax.psum(sum_h, self.axis_name)
+                sum_h2 = jax.lax.psum(sum_h2, self.axis_name)
+                e_total = jax.lax.psum(e_total, self.axis_name)
+            e_total = jnp.maximum(e_total, 1.0)
             mean = sum_h / e_total
             var = jnp.maximum(sum_h2 / e_total - mean * mean, 0.0)
 
@@ -226,6 +234,7 @@ class PointMaxMLP(lnn.Module):
 
     out_channels: int
     dtype: Optional[str] = None
+    axis_name: Optional[str] = None
 
     @lnn.compact
     def __call__(self, x, gd, train: bool = False, stats_mask=None):
@@ -254,7 +263,7 @@ class PointMaxMLP(lnn.Module):
             any_valid = jnp.any(gd.nbr_mask, axis=-1)[..., None]
             out = jnp.where(any_valid, out, 0.0).astype(dt)
         else:
-            bn = BatchNorm(name="bn0")
+            bn = BatchNorm(name="bn0", axis_name=self.axis_name)
             y = jnp.dot(x.astype(dt), w.astype(dt))  # == Dense(dtype=dt)
             h = leaky_relu02(bn(y, train=train, mask=stats_mask))
             out = gd.nbr_max(h.astype(dt), self_slot0=True)
@@ -284,6 +293,9 @@ class DeltaConv(lnn.Module):
     # Mixed precision: bf16 matmuls/activations, f32 BatchNorm stats
     # and parameters ("bfloat16" | None for f32).
     dtype: Optional[str] = None
+    # Mesh axis of a sharded point dimension: BatchNorm statistics and
+    # edge moments complete with collectives (point-sharded training).
+    axis_name: Optional[str] = None
 
     @lnn.compact
     def __call__(self, x, v, gd: GradDiv, train: bool = False,
@@ -303,21 +315,23 @@ class DeltaConv(lnn.Module):
             if (self.fast_centralized and self.depth == 1
                     and self.aggr == "max"):
                 x_max = EdgeMaxMLP(self.out_channels, dtype=self.dtype,
+                                   axis_name=self.axis_name,
                                    name="s_mlp_max")(
                     x, gd, train=train, stats_mask=edge_mask)
             else:
                 x_j = gd.gather(x)  # [..., N, K, C]
                 edge = x_j - x[..., :, None, :]
-                h = MLP(channels, dtype=self.dtype,
+                h = MLP(channels, dtype=self.dtype, axis_name=self.axis_name,
                         name="s_mlp_max")(edge, train=train,
                                           mask=edge_mask)
                 x_max = _aggregate(h, gd.nbr_mask, self.aggr)
         elif self.depth == 1 and self.aggr == "max":
             x_max = PointMaxMLP(self.out_channels, dtype=self.dtype,
+                                axis_name=self.axis_name,
                                 name="s_mlp_max")(
                 x, gd, train=train, stats_mask=point_mask)
         else:
-            h = MLP(channels, dtype=self.dtype,
+            h = MLP(channels, dtype=self.dtype, axis_name=self.axis_name,
                     name="s_mlp_max")(x, train=train, mask=point_mask)
             if self.aggr == "max":
                 x_max = gd.nbr_max(h, self_slot0=True)
@@ -338,6 +352,7 @@ class DeltaConv(lnn.Module):
         curl_v = -dd[..., c:]
         x_cat = jnp.concatenate([x, div_v, curl_v, norm(v)], axis=-1)
         x = x_max + MLP(channels, dtype=self.dtype,
+                        axis_name=self.axis_name,
                         name="s_mlp")(x_cat, train=train,
                                       mask=point_mask)
 
@@ -349,6 +364,7 @@ class DeltaConv(lnn.Module):
             hodge = -(gg[..., :c] + J(gg[..., c:2 * c]))
             v_cat = jnp.concatenate([v, hodge, gg[..., 2 * c:]], axis=-1)
             v = VectorMLP(channels, dtype=self.dtype,
+                          axis_name=self.axis_name,
                           name="v_mlp")(I_J(v_cat), train=train,
                                         mask=point_mask)
 

@@ -32,6 +32,9 @@ class MLP(lnn.Module):
     channels: Sequence[int]
     nonlin: Optional[Callable] = leaky_relu02
     dtype: Optional[str] = None
+    # Mesh axis for cross-shard BatchNorm statistics (point-sharded
+    # training).
+    axis_name: Optional[str] = None
 
     @lnn.compact
     def __call__(self, x, train: bool = False, mask=None):
@@ -42,7 +45,8 @@ class MLP(lnn.Module):
         for i, ch in enumerate(self.channels):
             x = lnn.Dense(ch, use_bias=False, dtype=dt,
                           name=f"lin{i}")(x)
-            x = BatchNorm(name=f"bn{i}")(x, train=train, mask=mask)
+            x = BatchNorm(name=f"bn{i}", axis_name=self.axis_name)(
+                x, train=train, mask=mask)
             if self.nonlin is not None:
                 x = self.nonlin(x)
             if dt is not None:
@@ -61,6 +65,7 @@ class VectorMLP(lnn.Module):
     channels: Sequence[int]
     use_batchnorm: bool = True
     dtype: Optional[str] = None
+    axis_name: Optional[str] = None
 
     @lnn.compact
     def __call__(self, v, train: bool = False, mask=None):
@@ -70,7 +75,8 @@ class VectorMLP(lnn.Module):
             v = lnn.Dense(ch, use_bias=False, dtype=dt,
                           name=f"lin{i}")(v)
             v = VectorNonLin(
-                use_batchnorm=self.use_batchnorm, name=f"nonlin{i}"
+                use_batchnorm=self.use_batchnorm, name=f"nonlin{i}",
+                axis_name=self.axis_name,
             )(v, train=train, mask=mask)
             if dt is not None:
                 v = v.astype(dt)

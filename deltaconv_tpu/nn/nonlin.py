@@ -44,6 +44,9 @@ class BatchNorm(lnn.Module):
     epsilon: float = 1e-5
     use_scale: bool = True
     use_bias: bool = True
+    # Mesh axis to sync batch statistics over (point-sharded training:
+    # every shard sees only its rows of the cloud).
+    axis_name: Optional[str] = None
 
     @lnn.compact
     def __call__(self, x, train: bool = False, mask=None):
@@ -59,6 +62,7 @@ class BatchNorm(lnn.Module):
             use_scale=self.use_scale,
             use_bias=self.use_bias,
             dtype=jnp.float32,
+            axis_name=self.axis_name,
         )(x, mask=mask)
 
 
@@ -73,6 +77,7 @@ class VectorNonLin(lnn.Module):
 
     use_batchnorm: bool = True
     nonlin: Callable = lnn.relu
+    axis_name: Optional[str] = None
 
     @lnn.compact
     def __call__(self, v, train: bool = False, mask=None):
@@ -81,7 +86,8 @@ class VectorNonLin(lnn.Module):
         c = v.shape[-1]
         n = safe_norm(v.astype(jnp.float32), axis=-2)  # [..., C]
         if self.use_batchnorm:
-            shifted = BatchNorm(name="bn")(n, train=train, mask=mask)
+            shifted = BatchNorm(name="bn", axis_name=self.axis_name)(
+                n, train=train, mask=mask)
         else:
             bias = self.param("bias", lnn.initializers.zeros, (c,))
             shifted = n + bias

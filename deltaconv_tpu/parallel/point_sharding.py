@@ -20,8 +20,12 @@ sharded over the mesh (SURVEY.md §2.7's "point/graph parallelism"):
 Everything is expressed with ``shard_map`` + ``jax.lax`` collectives
 over ICI; XLA schedules the all-gathers.
 
-Training is not supported through this path (eval/serving only):
-batch statistics would need cross-shard reductions inside BatchNorm.
+Training works too (:func:`point_sharded_train_step`): BatchNorm
+statistics and the centralized conv's edge moments psum over the
+mesh axis (``point_axis_name`` plumbed through the modules), the
+replicated loss differentiates through the collectives, and parameter
+gradients psum before the optimizer update — one step matches the
+single-device step exactly.
 """
 
 from __future__ import annotations
@@ -140,10 +144,9 @@ class ShardedGradDiv:
         return out.astype(x.dtype)
 
     def nbr_sum(self, h, mask=None):
-        raise NotImplementedError(
-            "point-sharded training is not supported (eval only): "
-            "edge BatchNorm statistics would need cross-shard psums"
-        )
+        mask = self.nbr_mask if mask is None else mask
+        g = self._full(h)[self.nbr_idx].astype(jnp.float32)
+        return jnp.sum(g * mask[..., None].astype(jnp.float32), axis=-2)
 
     def gather(self, h):
         return self._full(h)[self.nbr_idx]
@@ -307,6 +310,110 @@ def point_sharded_classification(mesh: Mesh, model, variables, pos,
     """
     return _point_sharded_forward(mesh, model, variables, pos, normal,
                                   point_mask, axis, P())
+
+
+def point_sharded_train_step(mesh: Mesh, model, axis: str = "points",
+                             smoothing: float = 0.2,
+                             per_point: bool = False):
+    """Returns ``step(state, pos, normal, label, rng, point_mask=None,
+    category=None) -> (state, metrics)`` training a DeltaNet model on
+    ONE cloud whose points are sharded over ``mesh``.
+
+    Inside ``shard_map``: the operator build and conv stack run on
+    local rows (collective-backed statistics via ``point_axis_name``)
+    and the parameter gradients complete across shards before
+    ``apply_gradients`` (parameters stay replicated). Matches the
+    single-device ``make_train_step`` update exactly for the same
+    cloud.
+
+    Gradient completion is a ``pmean`` for both heads: every shard's
+    backward sees the full loss ``n_shards``-fold — classification
+    because the replicated loss is redundantly recomputed per shard,
+    segmentation because the loss's ``psum`` transposes to another
+    ``psum`` (each shard's replicated cotangent is summed) — so each
+    shard's local gradient is ``n_shards`` times its true share and
+    the mean across shards restores the single-device gradient
+    (verified against ``make_train_step`` in the tests).
+    """
+    from ..training.losses import smooth_cross_entropy
+
+    model = model.clone(point_axis_name=axis)
+
+    def fwd(params, batch_stats, pos_l, normal_l, pm_l, label, rng,
+            cat):
+        # Decorrelate dropout masks across shards (each shard owns
+        # different rows of the cloud).
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+
+        def loss_fn(p):
+            gd = _build_local(pos_l, normal_l, pm_l,
+                              model.num_neighbors, axis,
+                              model.grad_kernel_width,
+                              model.grad_regularizer)
+            kwargs = {} if cat is None else {"category": cat}
+            logits, mutated = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                pos_l, normal=normal_l, point_mask=pm_l, train=True,
+                operators=ShardedGradDiv(gd, axis),
+                mutable=["batch_stats"], rngs={"dropout": rng},
+                **kwargs,
+            )
+            if per_point:
+                # label: [n_local] rows of this shard. Masked local
+                # sum, completed with psums (same smoothing formula as
+                # training.losses.smooth_cross_entropy).
+                c = logits.shape[-1]
+                logp = jax.nn.log_softmax(logits, axis=-1)
+                onehot = jax.nn.one_hot(label, c, dtype=logits.dtype)
+                off = smoothing / max(c - 1, 1)
+                target = (onehot * (1.0 - smoothing)
+                          + (1.0 - onehot) * off)
+                nll = -jnp.sum(target * logp, axis=-1)
+                m = (jnp.ones_like(nll) if pm_l is None
+                     else pm_l.astype(nll.dtype))
+                s = jax.lax.psum(jnp.sum(nll * m), axis)
+                cnt = jax.lax.psum(jnp.sum(m), axis)
+                loss = s / jnp.maximum(cnt, 1.0)
+            else:
+                loss = smooth_cross_entropy(logits[None], label[None],
+                                            smoothing)
+            return loss, (logits, mutated["batch_stats"])
+
+        (loss, (logits, bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        grads = jax.tree.map(lambda g: jax.lax.pmean(g, axis), grads)
+        return loss, logits, bs, grads
+
+    def rep(x):
+        return jax.tree.map(lambda _: P(), x)
+
+    def step(state, pos, normal, label, rng, point_mask=None,
+             category=None):
+        logits_spec = P(axis) if per_point else P()
+        loss, logits, bs, grads = jax.shard_map(
+            fwd, mesh=mesh,
+            in_specs=(rep(state.params), rep(state.batch_stats),
+                      P(axis), None if normal is None else P(axis),
+                      None if point_mask is None else P(axis),
+                      P(axis) if per_point else P(), P(),
+                      None if category is None else P()),
+            out_specs=(P(), logits_spec, rep(state.batch_stats),
+                       rep(state.params)),
+            check_vma=False,
+        )(state.params, state.batch_stats, pos, normal, point_mask,
+          label, rng, category)
+        state = state.apply_gradients(grads=grads, batch_stats=bs)
+        pred = jnp.argmax(logits, axis=-1)
+        if per_point:
+            m = (jnp.ones_like(label, jnp.float32) if point_mask is None
+                 else point_mask.astype(jnp.float32))
+            acc = (jnp.sum((pred == label) * m)
+                   / jnp.maximum(jnp.sum(m), 1.0))
+        else:
+            acc = (pred == label).astype(jnp.float32)
+        return state, {"loss": loss, "accuracy": acc}
+
+    return step
 
 
 def point_sharded_segmentation(mesh: Mesh, model, variables, pos,

@@ -140,3 +140,126 @@ def test_point_sharded_segmentation_matches(rng):
         mesh, model, variables, pos, normal=nrm, category=cat))
     assert got.shape == (n, 7)
     np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_point_sharded_train_step_matches_single_device(rng):
+    """ONE training step (operator build + fwd + bwd + update) on a
+    point-sharded cloud must reproduce the single-device step: psum'd
+    BatchNorm/edge statistics, pmean'd parameter gradients."""
+    from deltaconv_tpu.models import DeltaNetClassification
+    from deltaconv_tpu.parallel.point_sharding import (
+        point_sharded_train_step,
+    )
+    from deltaconv_tpu.training import (
+        create_train_state,
+        make_train_step,
+        sgd_momentum,
+    )
+
+    n, k = 256, 12
+    pos = jnp.asarray(rng.random((n, 3)).astype(np.float32))
+    nrm = jnp.asarray(rng.random((n, 3)).astype(np.float32))
+    nrm = nrm / jnp.linalg.norm(nrm, axis=-1, keepdims=True)
+    label = jnp.asarray([2], jnp.int32)
+
+    model = DeltaNetClassification(
+        num_classes=5, conv_channels=(16, 16), num_neighbors=k,
+        dense_operators=False, dropout=0.0,
+    )
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), (pos[None],), sgd_momentum(0.05),
+        init_kwargs={"normal": nrm[None]},
+    )
+
+    # Single-device reference step on the same one-cloud batch.
+    ref_step = make_train_step(model, smoothing=0.2)
+    ref_state, ref_metrics = ref_step(
+        state, {"pos": pos[None], "normal": nrm[None], "label": label},
+        jax.random.PRNGKey(7))
+
+    mesh = Mesh(np.asarray(jax.devices()), ("points",))
+    sp_step = point_sharded_train_step(mesh, model, smoothing=0.2)
+    sp_state, sp_metrics = sp_step(state, pos, nrm, label[0],
+                                   jax.random.fold_in(
+                                       jax.random.PRNGKey(7), 0))
+
+    np.testing.assert_allclose(float(sp_metrics["loss"]),
+                               float(ref_metrics["loss"]), atol=1e-5)
+
+    flat_ref = jax.tree_util.tree_leaves_with_path(ref_state.params)
+    flat_sp = dict(jax.tree_util.tree_leaves_with_path(sp_state.params))
+    for path, want in flat_ref:
+        got = flat_sp[path]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-4, err_msg=str(path))
+
+    flat_ref = jax.tree_util.tree_leaves_with_path(ref_state.batch_stats)
+    flat_sp = dict(
+        jax.tree_util.tree_leaves_with_path(sp_state.batch_stats))
+    for path, want in flat_ref:
+        got = flat_sp[path]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-4, err_msg=str(path))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_point_sharded_seg_train_step_matches_single_device(rng):
+    """ONE segmentation training step on a point-sharded cloud must
+    reproduce the single-device step (psum'd per-point loss, pmean'd
+    parameter gradients, psum'd BatchNorm statistics)."""
+    from deltaconv_tpu.models import DeltaNetSegmentation
+    from deltaconv_tpu.parallel.point_sharding import (
+        point_sharded_train_step,
+    )
+    from deltaconv_tpu.training import (
+        create_train_state,
+        make_train_step,
+        sgd_momentum,
+    )
+
+    n, k = 256, 10
+    pos = jnp.asarray(rng.random((n, 3)).astype(np.float32))
+    nrm = jnp.asarray(rng.random((n, 3)).astype(np.float32))
+    nrm = nrm / jnp.linalg.norm(nrm, axis=-1, keepdims=True)
+    cat = jnp.zeros((16,)).at[3].set(1.0)
+    label = jnp.asarray(rng.integers(0, 7, size=(n,)), jnp.int32)
+
+    model = DeltaNetSegmentation(
+        num_classes=7, conv_channels=(16, 16), mlp_depth=1,
+        embedding_size=32, categorical_vector=True, num_neighbors=k,
+        dense_operators=False, dropout=0.0,
+    )
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), (pos[None],), sgd_momentum(0.05),
+        init_kwargs={"normal": nrm[None], "category": cat[None]},
+    )
+
+    ref_step = make_train_step(model, smoothing=0.2, per_point=True)
+    ref_state, ref_metrics = ref_step(
+        state, {"pos": pos[None], "normal": nrm[None],
+                "label": label[None], "category": cat[None]},
+        jax.random.PRNGKey(7))
+
+    mesh = Mesh(np.asarray(jax.devices()), ("points",))
+    sp_step = point_sharded_train_step(mesh, model, smoothing=0.2,
+                                       per_point=True)
+    sp_state, sp_metrics = sp_step(
+        state, pos, nrm, label,
+        jax.random.fold_in(jax.random.PRNGKey(7), 0), category=cat)
+
+    np.testing.assert_allclose(float(sp_metrics["loss"]),
+                               float(ref_metrics["loss"]), atol=1e-5)
+    np.testing.assert_allclose(float(sp_metrics["accuracy"]),
+                               float(ref_metrics["accuracy"]), atol=1e-6)
+
+    for tree_name in ("params", "batch_stats"):
+        flat_ref = jax.tree_util.tree_leaves_with_path(
+            getattr(ref_state, tree_name))
+        flat_sp = dict(jax.tree_util.tree_leaves_with_path(
+            getattr(sp_state, tree_name)))
+        for path, want in flat_ref:
+            got = flat_sp[path]
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), atol=2e-4,
+                err_msg=f"{tree_name}{path}")
