@@ -27,3 +27,21 @@ def test_synthetic_classification_converges(tmp_path):
     best, hit_epoch = run(args)
     assert best >= 0.85, f"best accuracy {best} after {args.epochs} epochs"
     assert (tmp_path / "metrics.jsonl").exists()
+
+
+@pytest.mark.slow
+def test_synthetic_segmentation_converges(tmp_path):
+    """The segmentation head (categorical vector stream + per-point
+    loss) must learn the height-band parts well above the 25% chance
+    floor within a reduced CI budget."""
+    from synthetic_convergence import build_args, run
+
+    args = build_args([
+        "--task", "seg", "--num_points", "256", "--k", "12",
+        "--lr", "0.05", "--epochs", "12", "--train_size", "64",
+        "--eval_size", "32", "--target", "0.80", "--logdir",
+        str(tmp_path),
+    ])
+    best, hit_epoch = run(args)
+    assert best >= 0.80, f"best per-point acc {best} after {args.epochs}"
+    assert (tmp_path / "metrics.jsonl").exists()
