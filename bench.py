@@ -77,13 +77,15 @@ def _build_model():
     )
 
 
-def bench_eval():
+def bench_eval(operator_dtype=None):
     import jax
     import jax.numpy as jnp
 
     from deltaconv_tpu.data import synthetic_classification_batch
 
     model = _build_model()
+    if operator_dtype is not None:
+        model = model.clone(operator_dtype=operator_dtype)
     batch = synthetic_classification_batch(0, BATCH, NUM_POINTS, NUM_CLASSES)
     pos = jnp.asarray(batch["pos"])
     normal = jnp.asarray(batch["normal"])
@@ -307,6 +309,20 @@ if __name__ == "__main__":
         print(json.dumps({
             "metric": "clouds/sec (seg eval: build + forward, 2048 pts, "
                       "k=30, conv [64,128,256] depth 2, batch 16)",
+            "value": round(statistics.median(w), 1),
+            "unit": "clouds/sec",
+            "windows": [round(x, 1) for x in w],
+        }))
+    elif "--mode=int8" in sys.argv:
+        # Opt-in quantized serving form (geometry/dense.py int8 path):
+        # accuracy-changing (8-bit operators + activations; logit
+        # deviation ~0.5%, argmax-stable on synthetic eval) — reported
+        # separately from the exact-semantics headline.
+        _enable_compile_cache()
+        w = bench_eval(operator_dtype="int8")
+        print(json.dumps({
+            "metric": "clouds/sec (int8 quantized operators, 1024 pts, "
+                      "k=20, batch 32)",
             "value": round(statistics.median(w), 1),
             "unit": "clouds/sec",
             "windows": [round(x, 1) for x in w],

@@ -51,6 +51,13 @@ class DenseGradDiv(NeighborAggregations):
     # on the operator INPUTS instead of a second pass over the 2x128MB
     # dense matrices. None = matrices already normalized.
     scale: jnp.ndarray = None  # [...] (one scalar per cloud) or None
+    # int8 serving form (opt-in, densify(dtype="int8")): W ~= W_q * s
+    # with the per-cloud dequantization scales below; applies quantize
+    # the activations symmetrically per cloud and contract s8 x s8 ->
+    # s32 on the MXU. Accuracy-changing (8-bit operators + 8-bit
+    # activations); eval/serving only. None on the f32/bf16 paths.
+    op_scale_grad: jnp.ndarray = None  # [...] or None
+    op_scale_div: jnp.ndarray = None  # [...] or None
 
     def _scaled(self, x, extra_dims):
         if self.scale is None:
@@ -58,8 +65,27 @@ class DenseGradDiv(NeighborAggregations):
         s = self.scale.reshape(self.scale.shape + (1,) * extra_dims)
         return (x.astype(jnp.float32) * s).astype(x.dtype)
 
+    def _quantize_in(self, x):
+        """Symmetric per-cloud int8 activation quantization; returns
+        ``(x_q int8, ax/127 [...])``. Reduces over the trailing point/
+        component/channel axes (everything past the batch lead)."""
+        lead = self.op_scale_grad.shape
+        red = tuple(range(len(lead), x.ndim))
+        ax = jnp.maximum(jnp.max(jnp.abs(x), axis=red), 1e-30)
+        axb = ax.reshape(lead + (1,) * len(red))
+        xq = jnp.round(x / axb * 127.0).astype(jnp.int8)
+        return xq, ax / jnp.float32(127.0)
+
     def grad(self, x):
         """``[..., N, C] -> [..., N, 2, C]`` via one batched matmul."""
+        if self.w_grad.dtype == jnp.int8:
+            xf = self._scaled(x, 2).astype(jnp.float32)
+            xq, sx = self._quantize_in(xf)
+            acc = jnp.einsum("...dnm,...mc->...dnc", self.w_grad, xq,
+                             preferred_element_type=jnp.int32)
+            s = (self.op_scale_grad * sx).reshape(sx.shape + (1, 1, 1))
+            return jnp.swapaxes(acc.astype(jnp.float32) * s,
+                                -3, -2).astype(x.dtype)
         out = jnp.einsum(
             "...dnm,...mc->...dnc", self.w_grad,
             self._scaled(x, 2).astype(self.w_grad.dtype),
@@ -75,6 +101,18 @@ class DenseGradDiv(NeighborAggregations):
         materializes the interleaved transpose of ``v`` for the latter;
         measured 0.39 vs 0.87 ms at B=32, N=1024, C=128 on v5e).
         """
+        if self.w_div.dtype == jnp.int8:
+            vf = self._scaled(v, 3).astype(jnp.float32)
+            vq, sv = self._quantize_in(vf)
+            acc = jnp.einsum(
+                "...nm,...mc->...nc", self.w_div[..., 0, :, :],
+                vq[..., 0, :], preferred_element_type=jnp.int32,
+            ) + jnp.einsum(
+                "...nm,...mc->...nc", self.w_div[..., 1, :, :],
+                vq[..., 1, :], preferred_element_type=jnp.int32,
+            )
+            s = (self.op_scale_div * sv).reshape(sv.shape + (1, 1))
+            return (acc.astype(jnp.float32) * s).astype(v.dtype)
         dt = self.w_div.dtype
         v = self._scaled(v, 3)
         out = jnp.einsum(
@@ -118,6 +156,9 @@ def densify(gd: GradDiv, dtype: Optional[jnp.dtype] = None,
     n = gd.nbr_idx.shape[-2]
     lead = gd.nbr_idx.shape[:-2]
 
+    if jnp.dtype(dtype) == jnp.int8:
+        return _densify_int8(gd, n, lead, interpret)
+
     # Pallas assembly (ops/densify_op.py) builds rows in VMEM instead
     # of the XLA einsum's [B, N, K, N] one-hot in HBM. Measured on
     # v5e at B=32, N=1024, K=20: the kernel assembles BOTH operators in
@@ -148,3 +189,43 @@ def densify(gd: GradDiv, dtype: Optional[jnp.dtype] = None,
         w_grad=w_grad,
         w_div=w_div,
     )
+
+
+def _densify_int8(gd: GradDiv, n, lead, interpret):
+    """Opt-in quantized serving form (``dtype="int8"``): per-cloud
+    symmetric 8-bit operators with dequantization scales riding on the
+    applies. Forward-only — eval/serving, not training. Accuracy-
+    changing by construction (tests pin the tolerance; see PERF.md)."""
+    from ..ops.densify_op import densify_coefs_int8
+
+    unbatched = not lead
+    idx = gd.nbr_idx[None] if unbatched else gd.nbr_idx
+    gc = gd.grad_coef[None] if unbatched else gd.grad_coef
+    dc = gd.div_coef[None] if unbatched else gd.div_coef
+    if len(idx.shape[:-2]) != 1:
+        raise NotImplementedError(
+            "int8 densify supports one batch axis")
+
+    if jax.default_backend() == "tpu" or interpret:
+        wg, wd, sg, sd = densify_coefs_int8(idx, gc, dc,
+                                            interpret=interpret)
+    else:
+        # XLA fallback (CPU tests): same quantization, one-hot build.
+        from ..ops.densify_op import _quantize_pack
+
+        packed, sg_raw, sd_raw = _quantize_pack(gc, dc)
+        sg, sd = sg_raw / 127.0, sd_raw / 127.0
+
+        def byte(shift):
+            vals = ((packed << (24 - shift)) >> 24).astype(jnp.float32)
+            iota = jnp.arange(n, dtype=jnp.int32)
+            onehot = (idx[..., None] == iota).astype(jnp.float32)
+            return jnp.einsum("...nk,...nkm->...nm", vals, onehot)
+
+        wg = jnp.stack([byte(0), byte(8)], axis=-3).astype(jnp.int8)
+        wd = jnp.stack([byte(16), byte(24)], axis=-3).astype(jnp.int8)
+    if unbatched:
+        wg, wd, sg, sd = wg[0], wd[0], sg[0], sd[0]
+    return DenseGradDiv(nbr_idx=gd.nbr_idx, nbr_mask=gd.nbr_mask,
+                        w_grad=wg, w_div=wd,
+                        op_scale_grad=sg, op_scale_div=sd)

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["densify_coefs", "densify_coef_planes"]
+__all__ = ["densify_coefs", "densify_coef_planes", "densify_coefs_int8"]
 
 
 def _pad_to(x, multiple, axis):
@@ -109,6 +109,87 @@ def _fwd_kernel_bf16(idx_ref, g1_ref, g2_ref, d1_ref, d2_ref,
     wg_ref[0, 1] = hi(ag).astype(dt)
     wd_ref[0, 0] = lo(ad).astype(dt)
     wd_ref[0, 1] = hi(ad).astype(dt)
+
+
+def _fwd_kernel_int8(idx_ref, p_ref, wg_ref, wd_ref, *, k, n):
+    """int8-output serving path: ALL FOUR planes ride in ONE int32
+    accumulator (one byte each), so the per-k select/OR loop — the
+    kernel's entire cost — runs HALF the passes of the bf16 pair-packed
+    kernel, and the int8 outputs halve the HBM writes again. The OR
+    accumulates exactly for the same reason as the bf16 kernel: dense
+    assembly is pure placement (distinct columns per k; padded slots
+    carry quantized-zero bytes). Values arrive pre-quantized and
+    byte-packed (g1 | g2<<8 | d1<<16 | d2<<24); sub-32-bit selects
+    crash Mosaic on v5e, so everything stays int32 until the final
+    sign-extending byte extraction."""
+    t = idx_ref.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (t, n), 1)
+    idx16 = idx_ref[0]
+    pk = p_ref[0]  # [T, K] packed 4x int8
+    acc = jnp.zeros((t, n), jnp.int32)
+    for kk in range(k):
+        hit = idx16[:, kk][:, None] == col
+        acc = acc | jnp.where(hit, pk[:, kk][:, None], 0)
+
+    def byte(shift):  # sign-extended byte at bits [shift, shift+8)
+        return ((acc << (24 - shift)) >> 24).astype(jnp.int8)
+
+    wg_ref[0, 0] = byte(0)
+    wg_ref[0, 1] = byte(8)
+    wd_ref[0, 0] = byte(16)
+    wd_ref[0, 1] = byte(24)
+
+
+def _quantize_pack(grad_coef, div_coef):
+    """Per-cloud symmetric int8 quantization of the four coefficient
+    planes, byte-packed into one int32 per edge. Returns
+    ``(packed [B, N, K] i32, s_grad [B], s_div [B])`` with
+    ``W ~= W_q * s / 127``."""
+    red = tuple(range(1, grad_coef.ndim))
+    sg = jnp.maximum(jnp.max(jnp.abs(grad_coef), axis=red), 1e-30)
+    sd = jnp.maximum(jnp.max(jnp.abs(div_coef), axis=red), 1e-30)
+
+    def q(p, s):
+        v = jnp.round(p / s[:, None, None] * 127.0)
+        return jnp.clip(v, -127, 127).astype(jnp.int32)
+
+    qg1 = q(grad_coef[..., 0], sg)
+    qg2 = q(grad_coef[..., 1], sg)
+    qd1 = q(div_coef[..., 0], sd)
+    qd2 = q(div_coef[..., 1], sd)
+    packed = ((qg1 & 0xFF) | ((qg2 & 0xFF) << 8)
+              | ((qd1 & 0xFF) << 16) | ((qd2 & 0xFF) << 24))
+    return packed, sg, sd
+
+
+def densify_coefs_int8(idx, grad_coef, div_coef, tile=128,
+                       interpret=False):
+    """``idx [B, N, K], grad/div_coef [B, N, K, 2] -> (w_grad i8,
+    w_div i8, s_grad [B], s_div [B])`` — the opt-in quantized serving
+    form, ``W ~= W_q * s / 127`` (symmetric per-cloud scales).
+    Forward-only (no VJP): int8 operators are for eval/serving."""
+    b, n, k = idx.shape
+    packed, sg, sd = _quantize_pack(grad_coef, div_coef)
+    idx_p = _pad_to(idx.astype(jnp.int32), tile, 1)
+    packed_p = _pad_to(packed, tile, 1)
+    n_pad = idx_p.shape[1]
+    tk = pl.BlockSpec((1, tile, k), lambda ib, it: (ib, it, 0),
+                      memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((1, 2, tile, n), lambda ib, it: (ib, 0, it, 0),
+                          memory_space=pltpu.VMEM)
+    wg, wd = pl.pallas_call(
+        functools.partial(_fwd_kernel_int8, k=k, n=n),
+        grid=(b, n_pad // tile),
+        in_specs=[tk, tk],
+        out_specs=[w_spec, w_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 2, n_pad, n), jnp.int8),
+            jax.ShapeDtypeStruct((b, 2, n_pad, n), jnp.int8),
+        ],
+        interpret=interpret,
+    )(idx_p, packed_p)
+    return (wg[:, :, :n], wd[:, :, :n],
+            sg / jnp.float32(127.0), sd / jnp.float32(127.0))
 
 
 def _bwd_kernel(idx_ref, dwg_ref, dwd_ref,

@@ -81,3 +81,31 @@ def test_bench_config_train_step_runs():
         state, m = step(state, batch, jax.random.PRNGKey(i))
         losses.append(float(m["loss"]))
     assert all(np.isfinite(losses)), losses
+
+
+def test_int8_operator_mode_logit_parity(rng):
+    """The opt-in int8 quantized-operator serving mode
+    (operator_dtype="int8", geometry/dense.py) tracks the exact f32
+    path closely: logit deviation well under 1% of the logit scale and
+    identical argmax on the synthetic eval batch. Runs on CPU via the
+    XLA quantize fallback; the TPU kernel is bit-exact against it
+    (tests/ops)."""
+    import jax
+    import jax.numpy as jnp
+
+    from deltaconv_tpu.data import synthetic_classification_batch
+    from deltaconv_tpu.models import DeltaNetClassification
+
+    batch = synthetic_classification_batch(0, 4, 256, 10)
+    pos, nrm = jnp.asarray(batch["pos"]), jnp.asarray(batch["normal"])
+    kw = dict(num_classes=10, conv_channels=(16, 16, 32),
+              num_neighbors=12, dense_operators=True)
+    m32 = DeltaNetClassification(**kw)
+    m8 = DeltaNetClassification(**kw, operator_dtype="int8")
+    variables = m32.init(jax.random.PRNGKey(0), pos, normal=nrm,
+                         train=False)
+    l32 = np.asarray(m32.apply(variables, pos, normal=nrm, train=False))
+    l8 = np.asarray(m8.apply(variables, pos, normal=nrm, train=False))
+    scale = np.abs(l32).max()
+    assert np.abs(l8 - l32).max() < 0.01 * scale
+    assert (np.argmax(l8, -1) == np.argmax(l32, -1)).all()

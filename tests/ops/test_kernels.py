@@ -707,3 +707,107 @@ def test_gather_scatter_channel_split(rng, monkeypatch):
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(sc_split), np.asarray(sc_whole),
                                atol=1e-6)
+
+
+def _distinct_idx(rng, b, n, k):
+    """Random neighbor lists with DISTINCT columns per row (the kNN
+    invariant the OR-packed assembly kernels rely on)."""
+    idx = np.empty((b, n, k), np.int32)
+    for bb in range(b):
+        for t in range(n):
+            idx[bb, t] = rng.permutation(n)[:k]
+    return jnp.asarray(idx)
+
+
+def test_densify_int8_interpret_matches_fallback(rng):
+    """Interpret-mode int8 packed assembly == the XLA quantize+one-hot
+    fallback, bit-exact (same quantization, distinct columns)."""
+    from deltaconv_tpu.geometry import dense as D
+    from deltaconv_tpu.geometry.grad_div import GradDiv
+    from deltaconv_tpu.ops.densify_op import densify_coefs_int8
+
+    b, n, k = 2, 96, 8
+    idx = _distinct_idx(rng, b, n, k)
+    mask = jnp.ones((b, n, k), bool)
+    gc = jnp.asarray(rng.standard_normal((b, n, k, 2)).astype(np.float32))
+    dc = jnp.asarray(rng.standard_normal((b, n, k, 2)).astype(np.float32))
+    gd = GradDiv(nbr_idx=idx, nbr_mask=mask, grad_coef=gc, div_coef=dc)
+
+    ref = D.densify(gd, jnp.int8)  # XLA fallback on CPU
+    wg, wd, sg, sd = densify_coefs_int8(idx, gc, dc, interpret=True)
+    assert ref.w_grad.dtype == jnp.int8 and wg.dtype == jnp.int8
+    np.testing.assert_array_equal(np.asarray(wg), np.asarray(ref.w_grad))
+    np.testing.assert_array_equal(np.asarray(wd), np.asarray(ref.w_div))
+    np.testing.assert_allclose(np.asarray(sg),
+                               np.asarray(ref.op_scale_grad), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(sd),
+                               np.asarray(ref.op_scale_div), rtol=1e-6)
+
+
+def test_densify_int8_apply_tolerance(rng):
+    """Quantized operator applies track the f32 dense applies on REAL
+    operators (built from a synthetic cloud): 8-bit operators + 8-bit
+    activations, per-cloud symmetric scales."""
+    from deltaconv_tpu.geometry import dense as D
+    from deltaconv_tpu.models.deltanet_base import build_operators
+
+    b, n, k, c = 2, 128, 12, 16
+    pos = jnp.asarray(rng.random((b, n, 3)).astype(np.float32))
+    nrm = rng.standard_normal((b, n, 3)).astype(np.float32)
+    nrm = jnp.asarray(nrm / np.linalg.norm(nrm, axis=-1, keepdims=True))
+    gd = build_operators(pos, k, normal=nrm)
+
+    dense32 = D.densify(gd)
+    dense8 = D.densify(gd, jnp.int8)
+    x = jnp.asarray(rng.standard_normal((b, n, c)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, n, 2, c)).astype(np.float32))
+
+    def relerr(a, bb):
+        a, bb = np.asarray(a, np.float64), np.asarray(bb, np.float64)
+        return np.linalg.norm(a - bb) / max(np.linalg.norm(bb), 1e-30)
+
+    eg = relerr(dense8.grad(x), dense32.grad(x))
+    ed = relerr(dense8.div(v), dense32.div(v))
+    assert eg < 0.02, f"grad relative error {eg}"
+    assert ed < 0.02, f"div relative error {ed}"
+
+
+@pytest.mark.skipif(not ON_TPU, reason="pallas kernels need a TPU")
+def test_densify_int8_matches_fallback_tpu(rng):
+    """The on-TPU int8 packed assembly is bit-exact against the XLA
+    quantize+one-hot fallback."""
+    from deltaconv_tpu.geometry import dense as D
+    from deltaconv_tpu.geometry.grad_div import GradDiv
+    from deltaconv_tpu.ops.densify_op import densify_coefs_int8
+
+    b, n, k = 2, 256, 12
+    idx = _distinct_idx(rng, b, n, k)
+    mask = jnp.ones((b, n, k), bool)
+    gc = jnp.asarray(rng.standard_normal((b, n, k, 2)).astype(np.float32))
+    dc = jnp.asarray(rng.standard_normal((b, n, k, 2)).astype(np.float32))
+
+    wg, wd, sg, sd = jax.jit(densify_coefs_int8)(idx, gc, dc)
+
+    from deltaconv_tpu.ops.densify_op import _quantize_pack
+    packed, sg_raw, sd_raw = _quantize_pack(gc, dc)
+    packed = np.asarray(packed)
+    want_g = np.zeros((b, 2, n, n), np.int8)
+    want_d = np.zeros((b, 2, n, n), np.int8)
+    def sbyte(p, shift):
+        v = (int(p) >> shift) & 0xFF
+        return v - 256 if v >= 128 else v
+
+    for bb in range(b):
+        for t in range(n):
+            for kk in range(k):
+                p = np.uint32(np.asarray(packed[bb, t, kk], np.int64)
+                              & 0xFFFFFFFF)
+                col = int(idx[bb, t, kk])
+                want_g[bb, 0, t, col] = sbyte(p, 0)
+                want_g[bb, 1, t, col] = sbyte(p, 8)
+                want_d[bb, 0, t, col] = sbyte(p, 16)
+                want_d[bb, 1, t, col] = sbyte(p, 24)
+    np.testing.assert_array_equal(np.asarray(wg), want_g)
+    np.testing.assert_array_equal(np.asarray(wd), want_d)
+    np.testing.assert_allclose(np.asarray(sg), np.asarray(sg_raw) / 127.0,
+                               rtol=1e-6)
