@@ -65,6 +65,47 @@ class DenseGradDiv(NeighborAggregations):
         s = self.scale.reshape(self.scale.shape + (1,) * extra_dims)
         return (x.astype(jnp.float32) * s).astype(x.dtype)
 
+    @property
+    def _int8(self):
+        return self.w_grad.dtype == jnp.int8
+
+    def nbr_max(self, h, self_slot0: bool = True):
+        """int8 mode: the neighbor max runs in the quantized domain
+        (max commutes with the positive per-cloud scale), halving the
+        one-hot MXU contraction. Otherwise defers to the shared
+        protocol."""
+        if self._int8:
+            from ..ops.gather_max import gather_max_int8
+
+            if self._unbatched(h):
+                return gather_max_int8(h[None], self.nbr_idx[None],
+                                       self.nbr_mask[None],
+                                       self_slot0=self_slot0)[0]
+            return gather_max_int8(h, self.nbr_idx, self.nbr_mask,
+                                   self_slot0=self_slot0)
+        return super().nbr_max(h, self_slot0=self_slot0)
+
+    def nbr_matmul_max(self, x, w, self_slot0: bool = True):
+        """int8 mode: gather the quantized inputs with an int8 one-hot
+        contraction, apply ``w`` in VMEM, dequantize after the max."""
+        if self._int8:
+            from ..ops.gather_max import (
+                gather_matmul_max_int8,
+                int8_quantize,
+            )
+
+            unbatched = self._unbatched(x)
+            xb = x[None] if unbatched else x
+            idx = self.nbr_idx[None] if unbatched else self.nbr_idx
+            mask = self.nbr_mask[None] if unbatched else self.nbr_mask
+            xq, s = int8_quantize(xb)
+            out = gather_matmul_max_int8(xq, w, idx, mask,
+                                         self_slot0=self_slot0)
+            out = (out.astype(jnp.float32)
+                   * s[..., None, None]).astype(x.dtype)
+            return out[0] if unbatched else out
+        return super().nbr_matmul_max(x, w, self_slot0=self_slot0)
+
     def _quantize_in(self, x):
         """Symmetric per-cloud int8 activation quantization; returns
         ``(x_q int8, ax/127 [...])``. Reduces over the trailing point/

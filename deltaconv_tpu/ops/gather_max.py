@@ -27,7 +27,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["gather_max", "gather_minmax", "gather_matmul_minmax",
-           "masked_nbr_max"]
+           "masked_nbr_max", "int8_quantize", "gather_max_int8",
+           "gather_matmul_max_int8"]
 
 _NEG = -3.0e38  # ~ -inf in f32, safe to negate/compare
 
@@ -635,6 +636,177 @@ def gather_matmul_minmax(x, w, idx, mask, tile=128, interpret=False,
         interpret=interpret,
     )(idx_p, mask_p, x.astype(jnp.bfloat16), w.astype(jnp.bfloat16))
     return mx[:, :n], mn[:, :n]
+
+
+# -- int8 quantized gathers (opt-in serving mode) -------------------------
+#
+# max commutes with the symmetric per-cloud quantization (a monotone
+# non-decreasing map), so the quantized-domain neighbor max IS the
+# quantization of the true max: the one-hot contraction — the dominant
+# MXU cost of every gather — runs s8 x s8 -> s32 at twice the bf16
+# rate. Used by geometry/dense.DenseGradDiv when the operators are
+# int8 (accuracy-changing by construction; see PERF.md).
+
+_I8_NEG = -(2 ** 30)  # "-inf" in the int32 quantized domain
+
+
+def int8_quantize(h):
+    """Symmetric per-cloud int8 quantization over the trailing
+    (points, channels) axes: returns ``(h_q int8, scale [...])`` with
+    ``h ~= h_q * scale``."""
+    hf = h.astype(jnp.float32)
+    ah = jnp.maximum(jnp.max(jnp.abs(hf), axis=(-2, -1)), 1e-30)
+    hq = jnp.round(hf / ah[..., None, None] * 127.0).astype(jnp.int8)
+    return hq, ah / jnp.float32(127.0)
+
+
+def _int8_onehot(idx_ref, t, n, k, k0=0):
+    """k-major one-hot [(K-k0)*T, N] int8 (int32 compares + int32
+    select, converted — sub-32-bit selects crash Mosaic on v5e)."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (t, n), 1)
+    idx = idx_ref[0]
+    ones = [
+        jnp.where(idx[:, kk][:, None] == col, 1, 0).astype(jnp.int8)
+        for kk in range(k0, k)
+    ]
+    return jnp.concatenate(ones, axis=0)
+
+
+def _max_int8_kernel(idx_ref, mask_ref, hq_ref, out_ref, *, k, n,
+                     self0=False):
+    """Quantized-domain masked neighbor max: int8 one-hot contraction
+    (exact — the s32 accumulator holds the gathered int8 values), then
+    the usual unrolled max chain in int32."""
+    t = idx_ref.shape[1]
+    c = hq_ref.shape[2]
+    k0 = 1 if self0 else 0
+    onehot = _int8_onehot(idx_ref, t, n, k, k0)
+    val = jax.lax.dot_general(
+        onehot, hq_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)  # [(K-k0)*T, C]
+    best = jnp.full((t, c), _I8_NEG, jnp.int32)
+    for kk in range(k):
+        if self0 and kk == 0:
+            vk = _self_rows(hq_ref, t).astype(jnp.int32)
+        else:
+            i0 = (kk - k0) * t
+            vk = val[i0:i0 + t, :]
+        ok = mask_ref[0, :, kk][:, None] > 0
+        best = jnp.maximum(best, jnp.where(ok, vk, _I8_NEG))
+    out_ref[0] = best
+
+
+def gather_max_int8(h, idx, mask, self_slot0=False, tile=128,
+                    interpret=False):
+    """Quantized masked neighbor max of ``h [B, N, C]``: quantizes per
+    cloud, gathers+maxes in the int8 domain, dequantizes. All-masked
+    rows return 0. Forward-only (serving). Error <= half a quantization
+    step of the per-cloud range."""
+    b, n, c = h.shape
+    k = idx.shape[-1]
+    hq, scale = int8_quantize(h)
+    if jax.default_backend() == "tpu" or interpret:
+        # onehot i8 [K*T, N] + gathered i32 [K*T, C]
+        tile = fit_tile(tile, k * (n + 8 * c))
+        idx_p = _pad_to(idx.astype(jnp.int32), tile, 1)
+        mask_p = _pad_to(mask.astype(jnp.int32), tile, 1)
+        n_pad = idx_p.shape[1]
+        self0 = self_slot0 and n_pad == n
+        spec_t = pl.BlockSpec((1, tile, k), lambda ib, it: (ib, it, 0),
+                              memory_space=pltpu.VMEM)
+        mx = pl.pallas_call(
+            functools.partial(_max_int8_kernel, k=k, n=n, self0=self0),
+            grid=(b, n_pad // tile),
+            in_specs=[
+                spec_t, spec_t,
+                pl.BlockSpec((1, n, c), lambda ib, it: (ib, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, tile, c),
+                                   lambda ib, it: (ib, it, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, n_pad, c), jnp.int32),
+            interpret=interpret,
+        )(idx_p, mask_p, hq)[:, :n]
+    else:
+        gathered = jax.vmap(lambda a, i: a[i])(hq.astype(jnp.int32), idx)
+        mx = jnp.max(jnp.where(mask[..., None], gathered, _I8_NEG),
+                     axis=-2)
+    out = mx.astype(jnp.float32) * scale[..., None, None]
+    any_valid = jnp.any(mask, axis=-1)[..., None]
+    return jnp.where(any_valid, out, 0.0).astype(h.dtype)
+
+
+def _mm_max_int8_kernel(idx_ref, mask_ref, xq_ref, w_ref, mx_ref,
+                        *, k, n, self0=False):
+    """Gather-then-matmul max with an int8 one-hot contraction: the
+    gathered int8 values (exact, in the s32 accumulator) convert to
+    bf16 (lossless, |v| <= 127) and the layer kernel applies in VMEM;
+    the max chain runs in the quantized-input domain (the caller's
+    positive dequantization scale commutes with max)."""
+    t = idx_ref.shape[1]
+    k0 = 1 if self0 else 0
+    onehot = _int8_onehot(idx_ref, t, n, k, k0)
+    xg = jax.lax.dot_general(
+        onehot, xq_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)  # [(K-k0)*T, C_in]
+    y = jnp.dot(xg.astype(jnp.bfloat16), w_ref[...],
+                preferred_element_type=jnp.float32)  # [(K-k0)*T, C_out]
+    c = y.shape[-1]
+    best = jnp.full((t, c), _NEG, jnp.float32)
+    for kk in range(k):
+        if self0 and kk == 0:
+            vk = jnp.dot(_self_rows(xq_ref, t).astype(jnp.bfloat16),
+                         w_ref[...], preferred_element_type=jnp.float32)
+        else:
+            i0 = (kk - k0) * t
+            vk = y[i0:i0 + t, :]
+        ok = mask_ref[0, :, kk][:, None] > 0
+        best = jnp.maximum(best, jnp.where(ok, vk, _NEG))
+    mx_ref[0] = best.astype(mx_ref.dtype)
+
+
+def gather_matmul_max_int8(xq, w, idx, mask, tile=128, interpret=False,
+                           self_slot0=False):
+    """``xq [B, N, C_in] int8, w [C_in, C_out] bf16 -> max`` of
+    ``(xq @ w)[idx]`` over valid neighbors, in the QUANTIZED-input
+    domain (the caller dequantizes the result by its positive
+    per-cloud scale — max commutes). Rows with no valid neighbor
+    return ``-3e38`` (callers mask them). Forward-only."""
+    b, n, c_in = xq.shape
+    c_out = w.shape[-1]
+    k = idx.shape[-1]
+    if not (jax.default_backend() == "tpu" or interpret):
+        y = jnp.dot(xq.astype(jnp.float32), w.astype(jnp.float32))
+        gathered = jax.vmap(lambda a, i: a[i])(y, idx)
+        return jnp.max(jnp.where(mask[..., None], gathered, _NEG),
+                       axis=-2).astype(jnp.bfloat16)
+    # onehot i8 [K*T, N] + gathered i32+bf16 [K*T, C_in] + y f32.
+    tile = fit_tile(tile, k * (n + 6 * c_in + 4 * c_out),
+                    budget=12 * 2**20)
+    idx_p = _pad_to(idx.astype(jnp.int32), tile, 1)
+    mask_p = _pad_to(mask.astype(jnp.int32), tile, 1)
+    n_pad = idx_p.shape[1]
+    self0 = self_slot0 and n_pad == n
+    spec_t = pl.BlockSpec((1, tile, k), lambda ib, it: (ib, it, 0),
+                          memory_space=pltpu.VMEM)
+    mx = pl.pallas_call(
+        functools.partial(_mm_max_int8_kernel, k=k, n=n, self0=self0),
+        grid=(b, n_pad // tile),
+        in_specs=[
+            spec_t, spec_t,
+            pl.BlockSpec((1, n, c_in), lambda ib, it: (ib, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_in, c_out), lambda ib, it: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile, c_out),
+                               lambda ib, it: (ib, it, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, c_out), jnp.bfloat16),
+        interpret=interpret,
+    )(idx_p, mask_p, xq, w.astype(jnp.bfloat16))
+    return mx[:, :n]
 
 
 def masked_nbr_max(h, nbr_idx, nbr_mask, self_slot0=False):

@@ -179,3 +179,30 @@ def test_end_to_end_training_slice():
     eval_step = make_eval_step(model)
     logits = eval_step(state, batch)
     assert logits.shape == (8, CLASSES)
+
+
+def test_int8_operator_mode_logit_parity_cpu(rng):
+    """CPU (XLA-fallback) variant of the int8 serving-mode parity
+    check in test_tpu_paths.py: quantized operators + quantized
+    gathers track the exact f32 path within 1% of the logit scale
+    with identical argmax."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deltaconv_tpu.data import synthetic_classification_batch
+    from deltaconv_tpu.models import DeltaNetClassification
+
+    batch = synthetic_classification_batch(0, 4, 256, 10)
+    pos, nrm = jnp.asarray(batch["pos"]), jnp.asarray(batch["normal"])
+    kw = dict(num_classes=10, conv_channels=(16, 16, 32),
+              num_neighbors=12, dense_operators=True)
+    m32 = DeltaNetClassification(**kw)
+    m8 = DeltaNetClassification(**kw, operator_dtype="int8")
+    variables = m32.init(jax.random.PRNGKey(0), pos, normal=nrm,
+                         train=False)
+    l32 = np.asarray(m32.apply(variables, pos, normal=nrm, train=False))
+    l8 = np.asarray(m8.apply(variables, pos, normal=nrm, train=False))
+    scale = np.abs(l32).max()
+    assert np.abs(l8 - l32).max() < 0.01 * scale
+    assert (np.argmax(l8, -1) == np.argmax(l32, -1)).all()

@@ -811,3 +811,62 @@ def test_densify_int8_matches_fallback_tpu(rng):
     np.testing.assert_array_equal(np.asarray(wd), want_d)
     np.testing.assert_allclose(np.asarray(sg), np.asarray(sg_raw) / 127.0,
                                rtol=1e-6)
+
+
+def test_gather_max_int8_interpret(rng):
+    """Interpret-mode int8 quantized gather-max == the quantized
+    numpy reference (max commutes with the per-cloud scale)."""
+    from deltaconv_tpu.ops.gather_max import gather_max_int8, int8_quantize
+
+    b, n, k, c = 2, 128, 10, 16
+    h = jnp.asarray(rng.standard_normal((b, n, c)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, n, (b, n, k)).astype(np.int32))
+    mask = jnp.asarray(rng.random((b, n, k)) > 0.2)
+
+    got = gather_max_int8(h, idx, mask, interpret=True)
+
+    hq, s = int8_quantize(h)
+    hqi = np.asarray(hq, np.int32)
+    want = np.zeros((b, n, c), np.float32)
+    for bb in range(b):
+        for t in range(n):
+            vals = [hqi[bb, idx[bb, t, kk]] for kk in range(k)
+                    if bool(mask[bb, t, kk])]
+            if vals:
+                want[bb, t] = np.max(vals, axis=0) * float(s[bb])
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
+
+
+def test_gather_matmul_max_int8_interpret(rng):
+    """Interpret-mode int8 gather-then-matmul max == the quantized-
+    domain reference (self-slot read included)."""
+    from deltaconv_tpu.ops.gather_max import (
+        gather_matmul_max_int8,
+        int8_quantize,
+    )
+
+    b, n, k, ci, co = 2, 128, 8, 16, 32
+    x = jnp.asarray(rng.standard_normal((b, n, ci)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((ci, co)).astype(np.float32))
+    base = np.tile(np.arange(n, dtype=np.int32)[None, :, None], (b, 1, k))
+    base[..., 1:] = rng.integers(0, n, (b, n, k - 1))
+    idx = jnp.asarray(base)  # self in slot 0
+    mask = np.asarray(rng.random((b, n, k)) > 0.2)
+    mask[..., 0] = True
+    mask = jnp.asarray(mask)
+
+    xq, s = int8_quantize(x)
+    got = gather_matmul_max_int8(xq, w, idx, mask, interpret=True,
+                                 self_slot0=True)
+
+    wb = np.asarray(w.astype(jnp.bfloat16), np.float32)
+    y = np.asarray(xq, np.float32) @ wb  # quantized-domain products
+    want = np.full((b, n, co), -3.0e38, np.float32)
+    for bb in range(b):
+        for t in range(n):
+            vals = [y[bb, idx[bb, t, kk]] for kk in range(k)
+                    if bool(mask[bb, t, kk])]
+            if vals:
+                want[bb, t] = np.max(vals, axis=0)
+    np.testing.assert_allclose(np.asarray(got, np.float32), want,
+                               rtol=2e-2, atol=1e-2)
