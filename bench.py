@@ -264,26 +264,36 @@ def bench_large_train():
     return b / step_s, step_s * 1000.0
 
 
+def _bounded_submetric(flag, key, timeout=900):
+    """Run ``bench.py <flag>`` in a bounded subprocess and pull ``key``
+    from its JSON line; ``None`` on any failure (a degraded compile
+    server must not starve the headline metric)."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), flag],
+            capture_output=True, text=True, timeout=timeout,
+            env=dict(os.environ),
+        )
+        if proc.returncode == 0:
+            return json.loads(proc.stdout.strip().splitlines()[-1])[key]
+    except Exception:
+        pass
+    return None
+
+
 def main():
     _enable_compile_cache()
     windows = bench_eval()
     clouds_per_sec = statistics.median(windows)
 
     train_step_ms = None
+    int8_clouds_per_sec = None
     if os.environ.get("DELTACONV_BENCH_SKIP_TRAIN") != "1":
-        # Bounded subprocess: a degraded compile server must not starve
-        # the headline metric.
-        try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--train-step"],
-                capture_output=True, text=True, timeout=900,
-                env=dict(os.environ),
-            )
-            if proc.returncode == 0:
-                train_step_ms = json.loads(
-                    proc.stdout.strip().splitlines()[-1])["train_step_ms"]
-        except Exception:
-            train_step_ms = None
+        train_step_ms = _bounded_submetric("--train-step", "train_step_ms")
+        # Auxiliary: the opt-in int8 quantized serving mode
+        # (accuracy-changing; PERF.md) — reported alongside, never as
+        # the headline value.
+        int8_clouds_per_sec = _bounded_submetric("--mode=int8", "value")
 
     print(json.dumps({
         "metric": "clouds/sec (operator build + forward, 1024 pts, k=20, "
@@ -296,6 +306,7 @@ def main():
         "windows": [round(w, 1) for w in windows],
         "train_step_ms": (round(train_step_ms, 2)
                           if train_step_ms is not None else None),
+        "int8_serving_clouds_per_sec": int8_clouds_per_sec,
     }))
 
 

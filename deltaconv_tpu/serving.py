@@ -1,0 +1,228 @@
+"""Production inference engine: restore -> pad -> jit once -> predict.
+
+The reference ships training CLIs only; serving a trained DeltaConv
+model there means hand-rolling padding, batching and eval plumbing
+around the torch modules. This module is the TPU-native serving
+surface: it bundles checkpoint restore (orbax dirs or imported PyTorch
+``.pt`` state_dicts), static-shape padding of arbitrary-size clouds
+(XLA compiles one graph per (shape, masked) combination — ragged
+inputs must never retrace), request batching, and the opt-in reduced
+precision modes from PERF.md (bf16 serving config, int8 quantized
+operators + quantized-domain gathers).
+
+Typical use::
+
+    engine = InferenceEngine.from_checkpoint(
+        DeltaNetClassification(num_classes=40),
+        "runs/modelnet/checkpoints", num_points=1024,
+        precision="bfloat16")
+    logits = engine.predict(list_of_clouds)   # [M, 40]
+
+Reference parity anchors: eval semantics of
+``/root/reference/experiments/train_modelnet.py:104-121`` (padded,
+masked, train=False forward); precision modes are additive.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["InferenceEngine", "load_variables"]
+
+# Unit-z padding normal keeps build_tangent_basis well-defined on
+# padded rows (they are masked out of every statistic downstream).
+_PAD_NORMAL = np.asarray([0.0, 0.0, 1.0], np.float32)
+
+
+def load_variables(path: str):
+    """Loads model variables ``{"params", "batch_stats"}`` from an
+    orbax checkpoint directory (latest step, or a direct ``step_N``
+    path) or a PyTorch ``.pt``/``.pth`` state_dict (via the weight
+    importer). Structure-free: no template TrainState or model init
+    is required."""
+    if path.endswith((".pt", ".pth")):
+        from .utils.torch_import import import_state_dict, \
+            load_torch_state_dict
+
+        params, batch_stats, _ = import_state_dict(
+            load_torch_state_dict(path))
+        return {"params": params, "batch_stats": batch_stats}
+
+    import os
+
+    from .training.checkpoint import _checkpointer, latest_step
+
+    if not os.path.basename(path).startswith("step_"):
+        step = latest_step(path)
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {path}")
+        path = os.path.join(os.path.abspath(path), f"step_{step}")
+    raw = _checkpointer().restore(os.path.abspath(path))
+    return {"params": raw["params"],
+            "batch_stats": raw.get("batch_stats", {})}
+
+
+def _apply_precision(model, precision: Optional[str]):
+    if precision is None:
+        return model
+    if precision == "float32":
+        return model.clone(compute_dtype=None, operator_dtype=None)
+    if precision == "bfloat16":
+        return model.clone(compute_dtype="bfloat16",
+                           operator_dtype="bfloat16")
+    if precision == "int8":
+        # Quantized operators + quantized-domain gathers (PERF.md:
+        # +20% over exact, logit deviation ~0.5%, argmax-stable).
+        return model.clone(compute_dtype="bfloat16",
+                           operator_dtype="int8")
+    raise ValueError(f"unknown precision {precision!r}; expected "
+                     "float32 | bfloat16 | int8")
+
+
+class InferenceEngine:
+    """Batched fixed-shape serving wrapper around a DeltaNet model.
+
+    Args:
+      model: a ``DeltaNetClassification``/``DeltaNetSegmentation``
+        (or any flax module with the same call protocol).
+      variables: ``{"params", "batch_stats"}`` tree (see
+        :func:`load_variables`).
+      num_points: static point count every request is padded to.
+        Requests with more points are rejected (subsample upstream —
+        silently dropping geometry would change answers).
+      batch_size: static request batch; partial batches are filled by
+        replicating the first cloud and the filler outputs discarded.
+      precision: ``None`` (as built) | ``"float32"`` | ``"bfloat16"``
+        | ``"int8"``.
+    """
+
+    def __init__(self, model, variables, *, num_points: int,
+                 batch_size: int = 32,
+                 precision: Optional[str] = None):
+        self.model = _apply_precision(model, precision)
+        self.variables = variables
+        self.num_points = int(num_points)
+        self.batch_size = int(batch_size)
+        self._jitted = {}  # (masked, has_normal, has_category) -> fn
+
+    @classmethod
+    def from_checkpoint(cls, model, path: str, *, num_points: int,
+                        batch_size: int = 32,
+                        precision: Optional[str] = None):
+        return cls(model, load_variables(path), num_points=num_points,
+                   batch_size=batch_size, precision=precision)
+
+    # -- forward ----------------------------------------------------
+
+    def _forward(self, masked: bool, has_normal: bool,
+                 has_category: bool):
+        key = (masked, has_normal, has_category)
+        if key not in self._jitted:
+            model = self.model
+
+            @jax.jit
+            def fwd(variables, pos, normal, mask, category):
+                kwargs = {}
+                if has_category:
+                    kwargs["category"] = category
+                return model.apply(
+                    variables, pos,
+                    normal=normal if has_normal else None,
+                    point_mask=mask if masked else None,
+                    train=False, **kwargs)
+
+            self._jitted[key] = fwd
+        return self._jitted[key]
+
+    def warmup(self, masked: bool = True, has_normal: bool = True,
+               has_category: bool = False):
+        """Triggers compilation (first compile is ~20-40 s on TPU)
+        outside the serving path."""
+        b, n = self.batch_size, self.num_points
+        pos = jnp.zeros((b, n, 3)).at[:, :, 2].set(
+            jnp.linspace(0.0, 1.0, n))
+        normal = jnp.tile(jnp.asarray(_PAD_NORMAL), (b, n, 1))
+        mask = jnp.ones((b, n), bool)
+        cat = jnp.eye(16)[jnp.zeros((b,), jnp.int32)]
+        self._forward(masked, has_normal, has_category)(
+            self.variables, pos, normal, mask, cat
+        ).block_until_ready()
+
+    # -- request assembly -------------------------------------------
+
+    def _pad_one(self, pos, normal):
+        pos = np.asarray(pos, np.float32)
+        n = pos.shape[0]
+        if n > self.num_points:
+            raise ValueError(
+                f"cloud has {n} > num_points={self.num_points} points; "
+                "subsample upstream (e.g. transforms.SamplePoints)")
+        pad = self.num_points - n
+        if pad:
+            pos = np.concatenate(
+                [pos, np.zeros((pad, 3), np.float32)])
+        if normal is not None:
+            normal = np.asarray(normal, np.float32)
+            if pad:
+                normal = np.concatenate(
+                    [normal, np.tile(_PAD_NORMAL, (pad, 1))])
+        mask = np.arange(self.num_points) < n
+        return pos, normal, mask, n
+
+    def predict(self, clouds: Sequence, normals: Optional[Sequence] = None,
+                categories: Optional[Sequence[int]] = None):
+        """Runs the model on ``clouds`` (sequence of ``[N_i, 3]``
+        arrays, ragged N_i allowed).
+
+        Args:
+          normals: optional matching ``[N_i, 3]`` sequence (all-or-none
+            — the model estimates normals only for a whole batch).
+          categories: optional int object-category labels (segmentation
+            models with ``categorical_vector=True``); one-hot encoded
+            to ``[B, 16]``.
+
+        Returns: classification -> ``[M, num_classes]`` ndarray;
+        segmentation -> list of ``[N_i, num_classes]`` ndarrays
+        (padding rows trimmed).
+        """
+        m = len(clouds)
+        if m == 0:
+            return []
+        has_normal = normals is not None
+        has_category = categories is not None
+        padded = [
+            self._pad_one(clouds[i], normals[i] if has_normal else None)
+            for i in range(m)
+        ]
+        sizes = [p[3] for p in padded]
+        masked = any(s != self.num_points for s in sizes)
+        fwd = self._forward(masked, has_normal, has_category)
+
+        outs = []
+        bsz = self.batch_size
+        for start in range(0, m, bsz):
+            chunk = padded[start:start + bsz]
+            fill = bsz - len(chunk)
+            chunk = chunk + [chunk[0]] * fill  # replicated filler rows
+            pos = jnp.asarray(np.stack([c[0] for c in chunk]))
+            normal = (jnp.asarray(np.stack([c[1] for c in chunk]))
+                      if has_normal else pos)  # unused when not has_normal
+            mask = jnp.asarray(np.stack([c[2] for c in chunk]))
+            if has_category:
+                cat_ids = list(categories[start:start + bsz])
+                cat_ids += [cat_ids[0]] * fill
+                cat = jnp.eye(16)[jnp.asarray(cat_ids, jnp.int32)]
+            else:
+                cat = jnp.zeros((bsz, 16))
+            out = np.asarray(
+                fwd(self.variables, pos, normal, mask, cat),
+                np.float32)
+            outs.append(out[:bsz - fill])
+        out = np.concatenate(outs, axis=0)
+        if out.ndim == 3:  # segmentation: trim padding rows per cloud
+            return [out[i, :sizes[i]] for i in range(m)]
+        return out
