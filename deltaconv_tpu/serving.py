@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["InferenceEngine", "load_variables"]
+__all__ = ["InferenceEngine", "apply_precision", "load_variables"]
 
 # Unit-z padding normal keeps build_tangent_basis well-defined on
 # padded rows (they are masked out of every statistic downstream).
@@ -66,7 +66,10 @@ def load_variables(path: str):
             "batch_stats": raw.get("batch_stats", {})}
 
 
-def _apply_precision(model, precision: Optional[str]):
+def apply_precision(model, precision: Optional[str]):
+    """Clones ``model`` into a serving precision config: ``None``
+    keeps it as built; ``float32`` strips low-precision settings;
+    ``bfloat16``/``int8`` select the PERF.md serving modes."""
     if precision is None:
         return model
     if precision == "float32":
@@ -103,7 +106,7 @@ class InferenceEngine:
     def __init__(self, model, variables, *, num_points: int,
                  batch_size: int = 32,
                  precision: Optional[str] = None):
-        self.model = _apply_precision(model, precision)
+        self.model = apply_precision(model, precision)
         self.variables = variables
         self.num_points = int(num_points)
         self.batch_size = int(batch_size)

@@ -42,7 +42,25 @@ def build_args(argv=None):
                    help="cls: DeltaNetClassification on class-"
                         "conditioned shapes; seg: DeltaNetSegmentation "
                         "on per-point height-band parts")
+    p.add_argument("--eval_precisions", type=str, default="",
+                   help="comma list of serving precisions (bfloat16,"
+                        "int8) to re-evaluate the TRAINED model in — "
+                        "accuracy evidence for the reduced-precision "
+                        "modes on learned weights, not random init")
     return p.parse_args(argv)
+
+
+def _precision_evals(args, model, state, eval_loader, evaluate):
+    """Re-evaluates the trained ``state`` under each requested serving
+    precision (serving.apply_precision clones)."""
+    from deltaconv_tpu.serving import apply_precision
+
+    extras = {}
+    for prec in filter(None, args.eval_precisions.split(",")):
+        scalars = evaluate(apply_precision(model, prec), state,
+                           eval_loader)
+        extras[f"accuracy_{prec}"] = round(scalars["test accuracy"], 4)
+    return extras
 
 
 class _List:
@@ -146,14 +164,17 @@ def run_seg(args):
             hit_epoch = epoch
             break
 
+    extras = _precision_evals(args, model, state, eval_loader,
+                              evaluate_segmentation)
     print(json.dumps({
         "task": "seg",
         "converged": hit_epoch is not None,
         "epochs": hit_epoch if hit_epoch is not None else args.epochs,
         "best_accuracy": round(best, 4),
         "target": args.target,
+        **extras,
     }))
-    return best, hit_epoch
+    return best, hit_epoch, extras
 
 
 def run(args):
@@ -235,13 +256,16 @@ def run(args):
             hit_epoch = epoch
             break
 
+    extras = _precision_evals(args, model, state, eval_loader,
+                              evaluate_classification)
     print(json.dumps({
         "converged": hit_epoch is not None,
         "epochs": hit_epoch if hit_epoch is not None else args.epochs,
         "best_accuracy": round(best, 4),
         "target": args.target,
+        **extras,
     }))
-    return best, hit_epoch
+    return best, hit_epoch, extras
 
 
 if __name__ == "__main__":

@@ -23,10 +23,15 @@ def test_synthetic_classification_converges(tmp_path):
         "--num_points", "256", "--k", "12", "--lr", "0.05",
         "--epochs", "14", "--train_size", "96", "--eval_size", "64",
         "--target", "0.85", "--logdir", str(tmp_path),
+        "--eval_precisions", "int8",
     ])
-    best, hit_epoch = run(args)
+    best, hit_epoch, extras = run(args)
     assert best >= 0.85, f"best accuracy {best} after {args.epochs} epochs"
     assert (tmp_path / "metrics.jsonl").exists()
+    # The TRAINED model must keep its accuracy in the int8 quantized
+    # serving mode (strongest available evidence that the mode's
+    # ~0.5% logit deviation does not hurt learned decisions).
+    assert extras["accuracy_int8"] >= best - 0.05, extras
 
 
 @pytest.mark.slow
@@ -42,6 +47,6 @@ def test_synthetic_segmentation_converges(tmp_path):
         "--eval_size", "32", "--target", "0.80", "--logdir",
         str(tmp_path),
     ])
-    best, hit_epoch = run(args)
+    best, hit_epoch, extras = run(args)
     assert best >= 0.80, f"best per-point acc {best} after {args.epochs}"
     assert (tmp_path / "metrics.jsonl").exists()
