@@ -290,6 +290,7 @@ def main():
     int8_clouds_per_sec = None
     if os.environ.get("DELTACONV_BENCH_SKIP_TRAIN") != "1":
         train_step_ms = _bounded_submetric("--train-step", "train_step_ms")
+    if os.environ.get("DELTACONV_BENCH_SKIP_INT8") != "1":
         # Auxiliary: the opt-in int8 quantized serving mode
         # (accuracy-changing; PERF.md) — reported alongside, never as
         # the headline value.

@@ -74,19 +74,28 @@ def split_hilo(h):
 # -- forward kernel ------------------------------------------------------
 
 
-def build_onehot(idx_ref, t, n, k, k0=0):
-    """k-major one-hot [(K-k0)*T, N] bf16 for slots ``k0..k-1``.
+def build_onehot(idx_ref, t, n, k, k0=0, dtype=jnp.bfloat16):
+    """k-major one-hot [(K-k0)*T, N] for slots ``k0..k-1``.
     Compares stay int32: Mosaic on v5e rejects sub-32-bit vector
     compares ("Target does not support this comparison" for
     vector<...xi16>). ``k0=1`` skips the self slot (callers that
     guarantee self-in-slot-0 read their own rows directly — one fewer
-    [T, N] compare+select pass per tile)."""
+    [T, N] compare+select pass per tile). ``dtype=int8`` (quantized
+    gathers) routes through an int32 select before converting —
+    sub-32-bit vector selects crash Mosaic on v5e."""
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (t, n), 1)
     idx = idx_ref[0]  # [T, K]
-    ones = [
-        (idx[:, kk][:, None] == col_iota).astype(jnp.bfloat16)
-        for kk in range(k0, k)
-    ]
+    if dtype == jnp.int8:
+        ones = [
+            jnp.where(idx[:, kk][:, None] == col_iota, 1, 0)
+            .astype(jnp.int8)
+            for kk in range(k0, k)
+        ]
+    else:
+        ones = [
+            (idx[:, kk][:, None] == col_iota).astype(dtype)
+            for kk in range(k0, k)
+        ]
     return jnp.concatenate(ones, axis=0)
 
 
@@ -660,18 +669,6 @@ def int8_quantize(h):
     return hq, ah / jnp.float32(127.0)
 
 
-def _int8_onehot(idx_ref, t, n, k, k0=0):
-    """k-major one-hot [(K-k0)*T, N] int8 (int32 compares + int32
-    select, converted — sub-32-bit selects crash Mosaic on v5e)."""
-    col = jax.lax.broadcasted_iota(jnp.int32, (t, n), 1)
-    idx = idx_ref[0]
-    ones = [
-        jnp.where(idx[:, kk][:, None] == col, 1, 0).astype(jnp.int8)
-        for kk in range(k0, k)
-    ]
-    return jnp.concatenate(ones, axis=0)
-
-
 def _max_int8_kernel(idx_ref, mask_ref, hq_ref, out_ref, *, k, n,
                      self0=False):
     """Quantized-domain masked neighbor max: int8 one-hot contraction
@@ -680,7 +677,7 @@ def _max_int8_kernel(idx_ref, mask_ref, hq_ref, out_ref, *, k, n,
     t = idx_ref.shape[1]
     c = hq_ref.shape[2]
     k0 = 1 if self0 else 0
-    onehot = _int8_onehot(idx_ref, t, n, k, k0)
+    onehot = build_onehot(idx_ref, t, n, k, k0, dtype=jnp.int8)
     val = jax.lax.dot_general(
         onehot, hq_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)  # [(K-k0)*T, C]
@@ -746,7 +743,7 @@ def _mm_max_int8_kernel(idx_ref, mask_ref, xq_ref, w_ref, mx_ref,
     positive dequantization scale commutes with max)."""
     t = idx_ref.shape[1]
     k0 = 1 if self0 else 0
-    onehot = _int8_onehot(idx_ref, t, n, k, k0)
+    onehot = build_onehot(idx_ref, t, n, k, k0, dtype=jnp.int8)
     xg = jax.lax.dot_general(
         onehot, xq_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)  # [(K-k0)*T, C_in]

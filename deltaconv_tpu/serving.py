@@ -48,8 +48,14 @@ def load_variables(path: str):
         from .utils.torch_import import import_state_dict, \
             load_torch_state_dict
 
-        params, batch_stats, _ = import_state_dict(
+        params, batch_stats, skipped = import_state_dict(
             load_torch_state_dict(path))
+        # Same diagnostic as training.checkpoint.restore_any: a
+        # silently partial import would serve missing weights.
+        noteworthy = [s for s in skipped
+                      if "num_batches_tracked" not in s]
+        if noteworthy:
+            print(f"[torch import] skipped keys: {noteworthy}")
         return {"params": params, "batch_stats": batch_stats}
 
     import os
@@ -80,6 +86,13 @@ def apply_precision(model, precision: Optional[str]):
     if precision == "int8":
         # Quantized operators + quantized-domain gathers (PERF.md:
         # +20% over exact, logit deviation ~0.5%, argmax-stable).
+        # Only the dense-operator path consumes operator_dtype — a
+        # silent no-op here would leave the caller believing the
+        # accuracy-changing mode is active.
+        if not getattr(model, "dense_operators", True):
+            raise ValueError(
+                "precision='int8' requires dense_operators=True (the "
+                "coefficient-operator path has no quantized form)")
         return model.clone(compute_dtype="bfloat16",
                            operator_dtype="int8")
     raise ValueError(f"unknown precision {precision!r}; expected "
@@ -141,19 +154,26 @@ class InferenceEngine:
             self._jitted[key] = fwd
         return self._jitted[key]
 
-    def warmup(self, masked: bool = True, has_normal: bool = True,
-               has_category: bool = False):
+    def warmup(self, masked: Optional[bool] = None,
+               has_normal: bool = True, has_category: bool = False):
         """Triggers compilation (first compile is ~20-40 s on TPU)
-        outside the serving path."""
+        outside the serving path. ``masked=None`` compiles BOTH the
+        uniform (all clouds exactly ``num_points``) and ragged graphs
+        — ``predict`` picks between them per request, so warming only
+        one still leaves a live-path compile. Segmentation
+        deployments that pass categories must warm with
+        ``has_category=True`` (the category input changes the graph)."""
         b, n = self.batch_size, self.num_points
         pos = jnp.zeros((b, n, 3)).at[:, :, 2].set(
             jnp.linspace(0.0, 1.0, n))
         normal = jnp.tile(jnp.asarray(_PAD_NORMAL), (b, n, 1))
         mask = jnp.ones((b, n), bool)
         cat = jnp.eye(16)[jnp.zeros((b,), jnp.int32)]
-        self._forward(masked, has_normal, has_category)(
-            self.variables, pos, normal, mask, cat
-        ).block_until_ready()
+        variants = (False, True) if masked is None else (masked,)
+        for m in variants:
+            self._forward(m, has_normal, has_category)(
+                self.variables, pos, normal, mask, cat
+            ).block_until_ready()
 
     # -- request assembly -------------------------------------------
 
@@ -176,6 +196,20 @@ class InferenceEngine:
         mask = np.arange(self.num_points) < n
         return pos, normal, mask, n
 
+    @staticmethod
+    def _encode_category(c):
+        """Int label -> 16-wide one-hot (ShapeNet convention, bounds
+        checked — jit would silently clamp an out-of-range gather);
+        array-likes pass through at their own width."""
+        if np.ndim(c) == 0:
+            cid = int(c)
+            if not 0 <= cid < 16:
+                raise ValueError(
+                    f"category id {cid} outside the 16-category "
+                    "convention; pass a pre-encoded vector instead")
+            return np.eye(16, dtype=np.float32)[cid]
+        return np.asarray(c, np.float32)
+
     def predict(self, clouds: Sequence, normals: Optional[Sequence] = None,
                 categories: Optional[Sequence[int]] = None):
         """Runs the model on ``clouds`` (sequence of ``[N_i, 3]``
@@ -184,13 +218,16 @@ class InferenceEngine:
         Args:
           normals: optional matching ``[N_i, 3]`` sequence (all-or-none
             — the model estimates normals only for a whole batch).
-          categories: optional int object-category labels (segmentation
-            models with ``categorical_vector=True``); one-hot encoded
-            to ``[B, 16]``.
+          categories: optional object-category inputs (segmentation
+            models with ``categorical_vector=True``): int labels are
+            one-hot encoded to the ShapeNet-convention ``[B, 16]``
+            (ids outside ``0..15`` are rejected); already-encoded
+            vectors pass through at their own width.
 
         Returns: classification -> ``[M, num_classes]`` ndarray;
         segmentation -> list of ``[N_i, num_classes]`` ndarrays
-        (padding rows trimmed).
+        (padding rows trimmed). Zero clouds -> an empty list (the
+        output kind is only known after a forward runs).
         """
         m = len(clouds)
         if m == 0:
@@ -216,9 +253,10 @@ class InferenceEngine:
                       if has_normal else pos)  # unused when not has_normal
             mask = jnp.asarray(np.stack([c[2] for c in chunk]))
             if has_category:
-                cat_ids = list(categories[start:start + bsz])
-                cat_ids += [cat_ids[0]] * fill
-                cat = jnp.eye(16)[jnp.asarray(cat_ids, jnp.int32)]
+                cats = list(categories[start:start + bsz])
+                cats += [cats[0]] * fill
+                cat = jnp.asarray(np.stack(
+                    [self._encode_category(c) for c in cats]))
             else:
                 cat = jnp.zeros((bsz, 16))
             out = np.asarray(

@@ -185,3 +185,23 @@ def test_precision_modes(rng):
     with pytest.raises(ValueError, match="precision"):
         InferenceEngine(model, variables, num_points=128,
                         precision="fp4")
+
+    # int8 quantization only exists on the dense-operator path; a
+    # silent no-op would misreport the active serving mode.
+    coef_model = model.clone(dense_operators=False)
+    with pytest.raises(ValueError, match="dense_operators"):
+        InferenceEngine(coef_model, variables, num_points=128,
+                        precision="int8")
+
+
+def test_category_encoding_guards(rng):
+    """Out-of-range int category ids are rejected (jit would silently
+    clamp the one-hot gather); pre-encoded vectors pass through."""
+    from deltaconv_tpu.serving import InferenceEngine as IE
+
+    onehot = IE._encode_category(3)
+    assert onehot.shape == (16,) and onehot[3] == 1.0
+    passthrough = IE._encode_category(np.zeros(24, np.float32))
+    assert passthrough.shape == (24,)
+    with pytest.raises(ValueError, match="category id"):
+        IE._encode_category(16)
