@@ -158,7 +158,9 @@ class BatchLoader:
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
+        self._seed = seed
         self._rng = np.random.default_rng(seed)
+        self._epoch = None
         if host_shard and process_count is None:
             import jax
 
@@ -179,10 +181,22 @@ class BatchLoader:
             return n // gbs
         return (n + gbs - 1) // gbs
 
+    def set_epoch(self, epoch: int):
+        """Makes the next shuffle order a pure function of
+        ``(seed, epoch)`` instead of the stateful stream — checkpoint
+        resume (``fit(..., resume=True)``) replays the exact order the
+        uninterrupted run would have drawn. Also the multi-host
+        contract: every host derives the identical global order."""
+        self._epoch = int(epoch)
+
     def __iter__(self) -> Iterator[dict]:
         order = np.arange(len(self.dataset))
         if self.shuffle:
-            self._rng.shuffle(order)
+            if self._epoch is not None:
+                np.random.default_rng(
+                    (self._seed, self._epoch)).shuffle(order)
+            else:
+                self._rng.shuffle(order)
         bs = self.batch_size
         gbs = bs * self.process_count
         limit = (len(order) // gbs) * gbs if self.drop_last else len(order)

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..parallel import make_mesh, shard_train_step
-from .checkpoint import save_checkpoint
+from .checkpoint import latest_step, restore_checkpoint, save_checkpoint
 from .logging import MetricsLogger
 from .metrics import accuracy, balanced_accuracy, shape_iou
 from .steps import make_eval_step, make_train_step
@@ -49,7 +49,7 @@ def fit(model, state: TrainState, train_loader, test_loader,
         config: FitConfig, logger: Optional[MetricsLogger] = None,
         checkpoint_dir: Optional[str] = None,
         augment: Optional[Callable] = None, per_point: bool = False,
-        eval_fn: Optional[Callable] = None):
+        eval_fn: Optional[Callable] = None, resume: bool = False):
     """Runs the full training loop; returns the final state.
 
     Args:
@@ -64,8 +64,21 @@ def fit(model, state: TrainState, train_loader, test_loader,
       per_point: segmentation-style labels.
       eval_fn: ``(state) -> dict`` of scalars logged per epoch; default
         classification accuracy over ``test_loader``.
+      resume: restore the latest checkpoint under ``checkpoint_dir``
+        (full state, optimizer included) and continue from the next
+        epoch. Per-epoch RNG and shuffle orders are derived from
+        ``(seed, epoch)``, so an interrupted-then-resumed run follows
+        the exact trajectory of an uninterrupted one (checkpoints land
+        on epoch boundaries; mid-epoch progress since the last one is
+        re-trained). A no-op when no checkpoint exists yet.
     """
     logger = logger or MetricsLogger(None)
+    start_epoch = 1
+    if resume and checkpoint_dir:
+        last = latest_step(checkpoint_dir)
+        if last is not None:
+            state = restore_checkpoint(checkpoint_dir, state, step=last)
+            start_epoch = last + 1
     train_step = make_train_step(model, smoothing=config.smoothing,
                                  per_point=per_point)
     if config.data_parallel and len(jax.devices()) > 1:
@@ -78,10 +91,14 @@ def fit(model, state: TrainState, train_loader, test_loader,
         else:
             eval_fn = lambda s: evaluate_classification(model, s, test_loader)
 
-    rng = jax.random.PRNGKey(config.seed)
     step_idx = int(state.step)
     running = 0.0
-    for epoch in range(1, config.epochs + 1):
+    for epoch in range(start_epoch, config.epochs + 1):
+        # Per-epoch streams are pure functions of (seed, epoch) so a
+        # resumed run reproduces the uninterrupted trajectory.
+        rng = jax.random.fold_in(jax.random.PRNGKey(config.seed), epoch)
+        if hasattr(train_loader, "set_epoch"):
+            train_loader.set_epoch(epoch)
         preds, trues = [], []
         for batch in train_loader:
             batch = _device_batch(batch)

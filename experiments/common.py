@@ -49,6 +49,10 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     # Evaluation.
     p.add_argument("--checkpoint", type=str, default="",
                    help="Checkpoint path/dir; evaluate-only when given")
+    p.add_argument("--resume", type=str, default="",
+                   help="Previous run dir (or its checkpoints dir): "
+                        "restore the latest checkpoint, keep logging "
+                        "there, and continue training")
     # TPU-specific knobs.
     p.add_argument("--operator_dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"],
@@ -79,6 +83,16 @@ def make_logger(args):
 
     if args.evaluating:
         return MetricsLogger(None), None
+    if getattr(args, "resume", ""):
+        # Continue an interrupted run in place: metrics.jsonl appends,
+        # checkpoints land next to the existing ones, and
+        # fit(resume=True) restores the latest step.
+        run_dir = args.resume
+        cand = os.path.join(run_dir, "checkpoints")
+        ckpt_dir = cand if os.path.isdir(cand) else run_dir
+        logger = MetricsLogger(run_dir)
+        print(f"Resuming run in {run_dir}")
+        return logger, ckpt_dir
     run_dir = make_run_dir(args.logdir, args.experiment_name)
     logger = MetricsLogger(run_dir)
     logger.write_settings(args, args.experiment_name)

@@ -90,7 +90,8 @@ def main():
         config = FitConfig(epochs=args.epochs, seed=args.seed, smoothing=0.2,
                            data_parallel=not args.no_data_parallel)
         state = fit(model, state, train_loader, test_loader, config,
-                    logger=logger, checkpoint_dir=ckpt_dir, augment=augment)
+                    logger=logger, checkpoint_dir=ckpt_dir, augment=augment,
+                    resume=bool(args.resume))
     scalars = evaluate_classification(model, state, test_loader)
     print("Test accuracy: {test accuracy}".format(**scalars))
 

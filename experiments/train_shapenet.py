@@ -111,6 +111,7 @@ def main():
                            data_parallel=not args.no_data_parallel)
         state = fit(model, state, train_loader, test_loader, config,
                     logger=logger, checkpoint_dir=ckpt_dir, augment=augment,
+                    resume=bool(args.resume),
                     per_point=True, eval_fn=eval_fn)
     scalars = eval_fn(state)
     print("Test accuracy: {test accuracy}, mIoU: {test mIoU}".format(

@@ -214,3 +214,52 @@ def test_shapenet_cli_train_and_voting_eval(tmp_path, rng):
         capture_output=True, text=True, env=env, timeout=900)
     assert result.returncode == 0, result.stderr[-2000:]
     assert "mIoU" in result.stdout
+
+
+def test_fit_resume_matches_uninterrupted(tmp_path):
+    """An interrupted run resumed from its checkpoint follows the exact
+    trajectory of an uninterrupted one: per-epoch RNG folds on
+    (seed, epoch) and BatchLoader.set_epoch derives the shuffle order
+    the same way, so the final parameters agree bitwise."""
+    model = DeltaNetClassification(num_classes=3, conv_channels=(8, 8),
+                                   num_neighbors=8)
+
+    def fresh():
+        loader = BatchLoader(_dataset(0), 8, shuffle=True, seed=0)
+        example = next(iter(loader))
+        state = create_train_state(
+            model, jax.random.PRNGKey(0), (jnp.asarray(example["pos"]),),
+            sgd_momentum(0.05),
+            init_kwargs={"normal": jnp.asarray(example["normal"])},
+        )
+        return loader, state
+
+    test_loader = BatchLoader(_dataset(1), 8, drop_last=False)
+
+    # Uninterrupted: 4 epochs straight through.
+    loader, state = fresh()
+    full = fit(model, state, loader, test_loader,
+               FitConfig(epochs=4, seed=0, checkpoint_every=10),
+               checkpoint_dir=str(tmp_path / "full"))
+
+    # Interrupted: 2 epochs (checkpointed), then resume to 4.
+    loader, state = fresh()
+    fit(model, state, loader, test_loader,
+        FitConfig(epochs=2, seed=0, checkpoint_every=2),
+        checkpoint_dir=str(tmp_path / "part"))
+    loader, state = fresh()  # cold process: state restored inside fit
+    resumed = fit(model, state, loader, test_loader,
+                  FitConfig(epochs=4, seed=0, checkpoint_every=2),
+                  checkpoint_dir=str(tmp_path / "part"), resume=True)
+
+    assert int(resumed.step) == int(full.step)
+    flat_f = jax.tree_util.tree_leaves(full.params)
+    flat_r = jax.tree_util.tree_leaves(resumed.params)
+    for a, b in zip(flat_f, flat_r):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # resume=True with no checkpoint yet is a no-op start.
+    loader, state = fresh()
+    out = fit(model, state, loader, test_loader,
+              FitConfig(epochs=1, seed=0, checkpoint_every=5),
+              checkpoint_dir=str(tmp_path / "empty"), resume=True)
+    assert int(out.step) == len(loader)
