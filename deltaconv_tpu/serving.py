@@ -124,6 +124,7 @@ class InferenceEngine:
         self.num_points = int(num_points)
         self.batch_size = int(batch_size)
         self._jitted = {}  # (masked, has_normal, has_category) -> fn
+        self._aug_jit = {}  # augment fn -> jitted augment (voting)
 
     @classmethod
     def from_checkpoint(cls, model, path: str, *, num_points: int,
@@ -229,9 +230,57 @@ class InferenceEngine:
         (padding rows trimmed). Zero clouds -> an empty list (the
         output kind is only known after a forward runs).
         """
+        logits, sizes = self._run(clouds, normals, categories)
+        if logits is None:
+            return []
+        if logits.ndim == 3:  # segmentation: trim padding rows per cloud
+            return [logits[i, :sizes[i]] for i in range(len(sizes))]
+        return logits
+
+    def predict_voting(self, clouds: Sequence,
+                       normals: Optional[Sequence] = None,
+                       categories: Optional[Sequence[int]] = None,
+                       num_votes: int = 10, augment=None, seed: int = 0):
+        """The reference voting protocol as a serving call
+        (test_shapenet.py:79-96): ``num_votes`` stochastically
+        augmented forward passes, logits summed before the caller's
+        argmax. ``augment``: jittable ``(key, pos, normal) ->
+        (pos, normal)`` on padded ``[B, N, 3]`` batches; defaults to
+        the reference eval augmentation (RandomScale 4/5..5/4 +
+        RandomTranslateGlobal 0.1). Returns the same shapes as
+        :meth:`predict`."""
+        if augment is None:
+            from .transforms.augment import augment_classification
+            augment = augment_classification
+        aug = self._aug_jit.get(augment)
+        if aug is None:  # one jit cache per augment fn, kept across calls
+            aug = self._aug_jit[augment] = jax.jit(augment)
+        rng = jax.random.PRNGKey(seed)
+        total, sizes = None, None
+        for _ in range(num_votes):
+            rng, key = jax.random.split(rng)
+
+            def vote_transform(pos, normal, has_normal, key=key):
+                p, n = aug(key, pos, normal if has_normal else None)
+                return p, (n if n is not None else normal)
+
+            logits, sizes = self._run(clouds, normals, categories,
+                                      transform=vote_transform)
+            if logits is None:
+                return []
+            total = logits if total is None else total + logits
+        if total.ndim == 3:
+            return [total[i, :sizes[i]] for i in range(len(sizes))]
+        return total
+
+    def _run(self, clouds, normals, categories, transform=None):
+        """Pads, batches, and runs one forward pass over all clouds;
+        returns ``(stacked_logits, sizes)`` (``(None, None)`` for zero
+        clouds). ``transform(pos, normal, has_normal) -> (pos, normal)``
+        optionally perturbs each padded device batch (voting)."""
         m = len(clouds)
         if m == 0:
-            return []
+            return None, None
         has_normal = normals is not None
         has_category = categories is not None
         padded = [
@@ -259,11 +308,10 @@ class InferenceEngine:
                     [self._encode_category(c) for c in cats]))
             else:
                 cat = jnp.zeros((bsz, 16))
+            if transform is not None:
+                pos, normal = transform(pos, normal, has_normal)
             out = np.asarray(
                 fwd(self.variables, pos, normal, mask, cat),
                 np.float32)
             outs.append(out[:bsz - fill])
-        out = np.concatenate(outs, axis=0)
-        if out.ndim == 3:  # segmentation: trim padding rows per cloud
-            return [out[i, :sizes[i]] for i in range(m)]
-        return out
+        return np.concatenate(outs, axis=0), sizes

@@ -194,6 +194,32 @@ def test_precision_modes(rng):
                         precision="int8")
 
 
+def test_predict_voting(rng, cls_setup):
+    """Voting sums num_votes augmented passes: with an identity
+    augment it equals num_votes * predict exactly; with the default
+    stochastic augment it differs from the single pass but keeps
+    shape/finiteness."""
+    model, variables = cls_setup
+    engine = InferenceEngine(model, variables, num_points=64,
+                             batch_size=2)
+    clouds = _clouds(rng, [64, 50, 64])
+    normals = _normals(rng, [64, 50, 64])
+
+    identity = lambda key, pos, normal: (pos, normal)
+    voted = engine.predict_voting(clouds, normals=normals, num_votes=3,
+                                  augment=identity)
+    single = engine.predict(clouds, normals=normals)
+    np.testing.assert_allclose(voted, 3.0 * single, rtol=1e-5,
+                               atol=1e-5)
+
+    stochastic = engine.predict_voting(clouds, normals=normals,
+                                       num_votes=2, seed=3)
+    assert stochastic.shape == single.shape
+    assert np.isfinite(stochastic).all()
+    assert np.abs(stochastic - 2.0 * single).max() > 1e-4
+    assert engine.predict_voting([], num_votes=2) == []
+
+
 def test_category_encoding_guards(rng):
     """Out-of-range int category ids are rejected (jit would silently
     clamp the one-hot gather); pre-encoded vectors pass through."""
