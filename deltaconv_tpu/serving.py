@@ -273,6 +273,49 @@ class InferenceEngine:
             return [total[i, :sizes[i]] for i in range(len(sizes))]
         return total
 
+    def predict_sharded(self, cloud, normal=None, category=None,
+                        mesh=None):
+        """Runs ONE cloud too large for a single chip point-sharded
+        over the device mesh (``parallel.point_sharding``): each device
+        owns a row block, operators build locally, gathers/pools
+        complete with collectives. ``num_points``/``batch_size`` do not
+        apply — the cloud is padded to a multiple of the mesh size.
+        Returns ``[num_classes]`` (classification, replicated) or the
+        trimmed ``[N, num_classes]`` (segmentation). ``mesh`` defaults
+        to a 1-D "points" mesh over all devices."""
+        from jax.sharding import Mesh
+
+        from .parallel import (
+            pad_cloud,
+            point_sharded_classification,
+            point_sharded_segmentation,
+        )
+
+        if self.model.operator_dtype == "int8":
+            raise ValueError(
+                "predict_sharded has no int8 form (the point-sharded "
+                "path uses coefficient operators); serve sharded at "
+                "precision=None/float32/bfloat16")
+        if mesh is None:
+            mesh = Mesh(np.asarray(jax.devices()), ("points",))
+        n = np.asarray(cloud).shape[0]
+        pos, nrm, pm = pad_cloud(jnp.asarray(cloud, jnp.float32),
+                                 mesh.devices.size,
+                                 None if normal is None
+                                 else jnp.asarray(normal, jnp.float32))
+        seg = hasattr(self.model, "categorical_vector")
+        if seg:
+            cat = (None if category is None else
+                   jnp.asarray(self._encode_category(category)))
+            out = point_sharded_segmentation(
+                mesh, self.model, self.variables, pos, normal=nrm,
+                point_mask=pm, category=cat)
+            return np.asarray(out, np.float32)[:n]
+        out = point_sharded_classification(
+            mesh, self.model, self.variables, pos, normal=nrm,
+            point_mask=pm)
+        return np.asarray(out, np.float32)
+
     def _run(self, clouds, normals, categories, transform=None):
         """Pads, batches, and runs one forward pass over all clouds;
         returns ``(stacked_logits, sizes)`` (``(None, None)`` for zero

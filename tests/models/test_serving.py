@@ -220,6 +220,44 @@ def test_predict_voting(rng, cls_setup):
     assert engine.predict_voting([], num_votes=2) == []
 
 
+def test_predict_sharded_matches_single_device(rng, cls_setup):
+    """One oversized cloud served point-sharded over the 8-device mesh
+    equals the padded single-device forward; int8 is rejected on the
+    sharded path."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    model, variables = cls_setup
+    model = model.clone(dense_operators=False)
+    engine = InferenceEngine(model, variables, num_points=64,
+                             batch_size=2)
+    n = 150  # not a multiple of the mesh -> exercises pad_cloud
+    cloud = rng.standard_normal((n, 3)).astype(np.float32)
+    nrm = rng.standard_normal((n, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+
+    got = engine.predict_sharded(cloud, normal=nrm)
+    assert got.shape == (5,)
+
+    import jax.numpy as jnp
+
+    from deltaconv_tpu.parallel import pad_cloud
+    pos_p, nrm_p, pm = pad_cloud(jnp.asarray(cloud), 8,
+                                 jnp.asarray(nrm))
+    want = np.asarray(model.apply(
+        variables, pos_p[None], normal=nrm_p[None],
+        point_mask=pm[None], train=False))[0]
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+    batch = synthetic_classification_batch(0, 2, 128, 5)
+    dense8 = InferenceEngine(
+        DeltaNetClassification(**CLS_KW, dense_operators=True),
+        variables, num_points=64, precision="int8")
+    with pytest.raises(ValueError, match="int8"):
+        dense8.predict_sharded(cloud)
+
+
 def test_category_encoding_guards(rng):
     """Out-of-range int category ids are rejected (jit would silently
     clamp the one-hot gather); pre-encoded vectors pass through."""
