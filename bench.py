@@ -282,6 +282,8 @@ def _bounded_submetric(flag, key, timeout=900):
 
 
 def main():
+    import jax
+
     _enable_compile_cache()
     windows = bench_eval()
     clouds_per_sec = statistics.median(windows)
@@ -308,6 +310,11 @@ def main():
         "train_step_ms": (round(train_step_ms, 2)
                           if train_step_ms is not None else None),
         "int8_serving_clouds_per_sec": int8_clouds_per_sec,
+        # BASELINE.json's target hardware is v5e-8; this bench runs on
+        # the single attached chip. Eval is batch-data-parallel with no
+        # cross-chip communication (sharded==single logits are
+        # test-pinned), so chips scale the headline linearly.
+        "chips": len(jax.devices()),
     }))
 
 
