@@ -141,6 +141,8 @@ def test_train_modelnet_cli(tmp_path, rng):
 
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_test_cache"
+    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0.5"
     env["PYTHONPATH"] = os.path.abspath(
         os.path.join(os.path.dirname(__file__), "..", "..")
     )
@@ -189,6 +191,8 @@ def test_shapenet_cli_train_and_voting_eval(tmp_path, rng):
 
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_test_cache"
+    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0.5"
     env["PYTHONPATH"] = os.path.abspath(
         os.path.join(os.path.dirname(__file__), "..", ".."))
     exp = os.path.join(env["PYTHONPATH"], "experiments")
