@@ -161,11 +161,16 @@ class BatchLoader:
         self._seed = seed
         self._rng = np.random.default_rng(seed)
         self._epoch = None
-        if host_shard and process_count is None:
+        if host_shard:
+            # Fill the two fields independently: an explicit
+            # process_count with a defaulted index (or vice versa)
+            # must not leave every host on shard 0.
             import jax
 
-            process_index = jax.process_index()
-            process_count = jax.process_count()
+            if process_index is None:
+                process_index = jax.process_index()
+            if process_count is None:
+                process_count = jax.process_count()
         self.process_index = process_index or 0
         self.process_count = process_count or 1
         if self.process_count > 1 and not drop_last:

@@ -131,9 +131,18 @@ class ShardedGradDiv:
         return mx, mn
 
     def nbr_matmul_minmax(self, x, w, self_slot0: bool = True):
+        # ``y`` is already the FULL table — index it directly (like
+        # nbr_matmul_max below); routing through nbr_minmax would
+        # all-gather the full table AGAIN, a D-fold buffer blow-up.
         y = jnp.dot(self._full(x), w,
                     preferred_element_type=jnp.float32).astype(x.dtype)
-        return self.nbr_minmax(y, self_slot0)
+        g = y[self.nbr_idx].astype(jnp.float32)
+        mask = self.nbr_mask[..., None]
+        mx = jnp.max(jnp.where(mask, g, _NEG), axis=-2)
+        mn = jnp.min(jnp.where(mask, g, -_NEG), axis=-2)
+        if x.dtype == jnp.bfloat16:
+            mx, mn = mx.astype(x.dtype), mn.astype(x.dtype)
+        return mx, mn
 
     def nbr_matmul_max(self, x, w, self_slot0: bool = True):
         y = jnp.dot(self._full(x), w,

@@ -45,17 +45,9 @@ def load_variables(path: str):
     importer). Structure-free: no template TrainState or model init
     is required."""
     if path.endswith((".pt", ".pth")):
-        from .utils.torch_import import import_state_dict, \
-            load_torch_state_dict
+        from .utils.torch_import import import_torch_checkpoint
 
-        params, batch_stats, skipped = import_state_dict(
-            load_torch_state_dict(path))
-        # Same diagnostic as training.checkpoint.restore_any: a
-        # silently partial import would serve missing weights.
-        noteworthy = [s for s in skipped
-                      if "num_batches_tracked" not in s]
-        if noteworthy:
-            print(f"[torch import] skipped keys: {noteworthy}")
+        params, batch_stats = import_torch_checkpoint(path)
         return {"params": params, "batch_stats": batch_stats}
 
     import os
@@ -249,25 +241,35 @@ class InferenceEngine:
         the reference eval augmentation (RandomScale 4/5..5/4 +
         RandomTranslateGlobal 0.1). Returns the same shapes as
         :meth:`predict`."""
+        if len(clouds) == 0:
+            return []
         if augment is None:
             from .transforms.augment import augment_classification
             augment = augment_classification
         aug = self._aug_jit.get(augment)
         if aug is None:  # one jit cache per augment fn, kept across calls
+            if len(self._aug_jit) >= 8:
+                # Callers passing a fresh closure per request must not
+                # leak one compiled executable per call.
+                self._aug_jit.clear()
             aug = self._aug_jit[augment] = jax.jit(augment)
+        # Pad/stack/upload ONCE; only the augmentation key changes
+        # between votes.
+        batches, sizes, masked, has_normal, has_category = \
+            self._assemble(clouds, normals, categories)
+        fwd = self._forward(masked, has_normal, has_category)
         rng = jax.random.PRNGKey(seed)
-        total, sizes = None, None
+        total = None
         for _ in range(num_votes):
             rng, key = jax.random.split(rng)
-
-            def vote_transform(pos, normal, has_normal, key=key):
+            outs = []
+            for pos, normal, mask, cat, keep in batches:
                 p, n = aug(key, pos, normal if has_normal else None)
-                return p, (n if n is not None else normal)
-
-            logits, sizes = self._run(clouds, normals, categories,
-                                      transform=vote_transform)
-            if logits is None:
-                return []
+                n = n if n is not None else normal
+                out = np.asarray(fwd(self.variables, p, n, mask, cat),
+                                 np.float32)
+                outs.append(out[:keep])
+            logits = np.concatenate(outs, axis=0)
             total = logits if total is None else total + logits
         if total.ndim == 3:
             return [total[i, :sizes[i]] for i in range(len(sizes))]
@@ -316,14 +318,13 @@ class InferenceEngine:
             point_mask=pm)
         return np.asarray(out, np.float32)
 
-    def _run(self, clouds, normals, categories, transform=None):
-        """Pads, batches, and runs one forward pass over all clouds;
-        returns ``(stacked_logits, sizes)`` (``(None, None)`` for zero
-        clouds). ``transform(pos, normal, has_normal) -> (pos, normal)``
-        optionally perturbs each padded device batch (voting)."""
+    def _assemble(self, clouds, normals, categories):
+        """Pads and stacks all clouds into device-ready batches (one
+        host->device upload). Returns ``(batches, sizes, masked,
+        has_normal, has_category)`` where every batch entry is
+        ``(pos, normal, mask, cat, keep)`` and ``keep`` is the number
+        of non-filler rows."""
         m = len(clouds)
-        if m == 0:
-            return None, None
         has_normal = normals is not None
         has_category = categories is not None
         padded = [
@@ -332,9 +333,8 @@ class InferenceEngine:
         ]
         sizes = [p[3] for p in padded]
         masked = any(s != self.num_points for s in sizes)
-        fwd = self._forward(masked, has_normal, has_category)
 
-        outs = []
+        batches = []
         bsz = self.batch_size
         for start in range(0, m, bsz):
             chunk = padded[start:start + bsz]
@@ -351,10 +351,22 @@ class InferenceEngine:
                     [self._encode_category(c) for c in cats]))
             else:
                 cat = jnp.zeros((bsz, 16))
-            if transform is not None:
-                pos, normal = transform(pos, normal, has_normal)
+            batches.append((pos, normal, mask, cat, bsz - fill))
+        return batches, sizes, masked, has_normal, has_category
+
+    def _run(self, clouds, normals, categories):
+        """Pads, batches, and runs one forward pass over all clouds;
+        returns ``(stacked_logits, sizes)`` (``(None, None)`` for zero
+        clouds)."""
+        if len(clouds) == 0:
+            return None, None
+        batches, sizes, masked, has_normal, has_category = \
+            self._assemble(clouds, normals, categories)
+        fwd = self._forward(masked, has_normal, has_category)
+        outs = []
+        for pos, normal, mask, cat, keep in batches:
             out = np.asarray(
                 fwd(self.variables, pos, normal, mask, cat),
                 np.float32)
-            outs.append(out[:bsz - fill])
+            outs.append(out[:keep])
         return np.concatenate(outs, axis=0), sizes

@@ -52,16 +52,9 @@ def restore_any(path: str, target_state, params_only: bool = False):
     eval-time constant-lr state lacks).
     """
     if path.endswith(".pt") or path.endswith(".pth"):
-        from ..utils.torch_import import import_state_dict, \
-            load_torch_state_dict
+        from ..utils.torch_import import import_torch_checkpoint
 
-        sd = load_torch_state_dict(path)
-        params, batch_stats, skipped = import_state_dict(sd)
-        if skipped:
-            noteworthy = [s for s in skipped
-                          if "num_batches_tracked" not in s]
-            if noteworthy:
-                print(f"[torch import] skipped keys: {noteworthy}")
+        params, batch_stats = import_torch_checkpoint(path)
         return target_state.replace(params=params, batch_stats=batch_stats)
     return restore_checkpoint(path, target_state,
                               params_only=params_only)

@@ -27,7 +27,8 @@ from typing import Dict, Tuple
 
 import numpy as np
 
-__all__ = ["load_torch_state_dict", "import_state_dict"]
+__all__ = ["load_torch_state_dict", "import_state_dict",
+           "import_torch_checkpoint"]
 
 _HEAD_RENAMES = [
     # order matters: longest prefixes first
@@ -151,3 +152,17 @@ def import_state_dict(state_dict: Dict[str, np.ndarray]):
         _set(params if coll == "params" else batch_stats, path,
              np.asarray(value))
     return params, batch_stats, skipped
+
+
+def import_torch_checkpoint(path: str):
+    """Loads and translates a reference ``.pt``/``.pth`` state_dict,
+    printing the skipped-keys diagnostic (a silently partial import
+    would serve or evaluate missing weights). The ONE torch-restore
+    policy shared by ``training.checkpoint.restore_any`` and
+    ``serving.load_variables``. Returns ``(params, batch_stats)``."""
+    params, batch_stats, skipped = import_state_dict(
+        load_torch_state_dict(path))
+    noteworthy = [s for s in skipped if "num_batches_tracked" not in s]
+    if noteworthy:
+        print(f"[torch import] skipped keys: {noteworthy}")
+    return params, batch_stats

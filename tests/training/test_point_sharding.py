@@ -263,3 +263,56 @@ def test_point_sharded_seg_train_step_matches_single_device(rng):
             np.testing.assert_allclose(
                 np.asarray(got), np.asarray(want), atol=2e-4,
                 err_msg=f"{tree_name}{path}")
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_nbr_protocol_matmul_minmax_matches(rng):
+    """ShardedGradDiv's fused gather-then-matmul (max, min) must match
+    the single-device protocol (it indexes the already-full product
+    table directly — no second all-gather)."""
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from deltaconv_tpu.parallel.point_sharding import (
+        ShardedGradDiv,
+        point_sharded_operators,
+    )
+
+    n, k, c_in, c_out = 256, 8, 4, 6
+    pos = jnp.asarray(rng.random((n, 3)).astype(np.float32))
+    nrm = jnp.asarray(rng.random((n, 3)).astype(np.float32))
+    nrm = nrm / jnp.linalg.norm(nrm, axis=-1, keepdims=True)
+    x = jnp.asarray(rng.random((n, c_in)).astype(np.float32))
+    w = jnp.asarray(rng.random((c_in, c_out)).astype(np.float32))
+
+    nbr, mask = knn(pos, k)
+    # Plain-numpy reference (gd.nbr_matmul_minmax is the TPU-only
+    # Pallas fast path and does not lower on the CPU mesh).
+    y = np.asarray(x) @ np.asarray(w)
+    g = y[np.asarray(nbr)]
+    m = np.asarray(mask)[..., None]
+    want_mx = np.max(np.where(m, g, -np.float32(3e38)), axis=-2)
+    want_mn = np.min(np.where(m, g, np.float32(3e38)), axis=-2)
+
+    mesh = Mesh(np.asarray(jax.devices()), ("points",))
+    sgd = point_sharded_operators(mesh, pos, k, normal=nrm)
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(
+            jax.tree_util.tree_map(lambda _: P("points"), sgd),
+            P("points"), P(None)),
+        out_specs=(P("points"), P("points")),
+        check_rep=False,
+    )
+    def run(sgd_local, x_l, w_full):
+        s = ShardedGradDiv(sgd_local, "points")
+        return s.nbr_matmul_minmax(x_l, w_full)
+
+    got_mx, got_mn = run(sgd, x, w)
+    np.testing.assert_allclose(np.asarray(got_mx), np.asarray(want_mx),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_mn), np.asarray(want_mn),
+                               atol=2e-5)
