@@ -41,6 +41,13 @@ import time
 # measurement.
 ESTIMATED_REFERENCE_A100_CLOUDS_PER_SEC = 1000.0
 
+# MEASURED reference throughput on THIS host (the only hardware both
+# implementations share): the executed upstream implementation — run
+# via tools/pyg_shims.py + tools/bench_reference.py — at the identical
+# headline config on the 1-core CPU. Ours measures 7.36 (coefficient
+# operators) / 3.28 (dense) clouds/s on the same core. See BASELINE.md.
+MEASURED_REFERENCE_CPU_CLOUDS_PER_SEC = 3.43  # 2026-08-17
+
 BATCH = 32
 NUM_POINTS = 1024
 K = 20
@@ -310,6 +317,13 @@ def main():
         "train_step_ms": (round(train_step_ms, 2)
                           if train_step_ms is not None else None),
         "int8_serving_clouds_per_sec": int8_clouds_per_sec,
+        # Same-host measured anchor (BASELINE.md): the EXECUTED
+        # reference implementation at this exact config on this host's
+        # CPU (tools/bench_reference.py).
+        "reference_measured_cpu_clouds_per_sec":
+            MEASURED_REFERENCE_CPU_CLOUDS_PER_SEC,
+        "vs_reference_measured_cpu": round(
+            clouds_per_sec / MEASURED_REFERENCE_CPU_CLOUDS_PER_SEC, 1),
         # BASELINE.json's target hardware is v5e-8; this bench runs on
         # the single attached chip. Eval is batch-data-parallel with no
         # cross-chip communication (sharded==single logits are
