@@ -12,6 +12,7 @@ from typing import Optional, Sequence
 import flax.linen as lnn
 import jax.numpy as jnp
 
+from ..nn.init import torch_linear_bias, torch_linear_kernel
 from ..nn.mlp import MLP
 from .deltanet_base import DeltaNetBase
 from .pool import global_max_pool, global_mean_pool
@@ -80,5 +81,7 @@ class DeltaNetClassification(lnn.Module):
         x = MLP([256], dtype=self.compute_dtype, name="head1")(
             x, train=train)
         x = lnn.Dropout(self.dropout, deterministic=not train)(x)
-        return lnn.Dense(self.num_classes, name="head_out")(
-            x.astype(jnp.float32))
+        return lnn.Dense(self.num_classes,
+                         kernel_init=torch_linear_kernel,
+                         bias_init=torch_linear_bias(256),
+                         name="head_out")(x.astype(jnp.float32))

@@ -14,6 +14,7 @@ from typing import Optional, Sequence
 import flax.linen as lnn
 import jax.numpy as jnp
 
+from ..nn.init import torch_linear_bias, torch_linear_kernel
 from ..nn.mlp import MLP
 from ..nn.nonlin import leaky_relu02
 from .deltanet_base import DeltaNetBase
@@ -101,7 +102,10 @@ class DeltaNetSegmentation(lnn.Module):
                 axis_name=self.point_axis_name)(
             x, train=train, mask=point_mask)
         x = lnn.Dropout(self.dropout, deterministic=not train)(x)
-        x = lnn.Dense(128, name="head2")(x)
+        x = lnn.Dense(128, kernel_init=torch_linear_kernel,
+                      bias_init=torch_linear_bias(256), name="head2")(x)
         x = leaky_relu02(x)
-        return lnn.Dense(self.num_classes, name="head_out")(
-            x.astype(jnp.float32))
+        return lnn.Dense(self.num_classes,
+                         kernel_init=torch_linear_kernel,
+                         bias_init=torch_linear_bias(128),
+                         name="head_out")(x.astype(jnp.float32))

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from ..geometry.grad_div import GradDiv
 from ..geometry.operators import I_J, J, curl, norm
+from .init import torch_linear_kernel
 from .mlp import MLP, VectorMLP
 from .nonlin import leaky_relu02
 
@@ -166,7 +167,7 @@ class EdgeMaxMLP(lnn.Module):
         BN, which includes padded edges pointing at index 0)."""
         dt = jnp.dtype(self.dtype) if self.dtype else jnp.float32
         y = lnn.Dense(self.out_channels, use_bias=False, dtype=dt,
-                      name="lin0")(x)
+                      kernel_init=torch_linear_kernel, name="lin0")(x)
         y = y.astype(dt).astype(jnp.float32)
 
         mean = var = None
@@ -204,13 +205,14 @@ class EdgeMaxMLP(lnn.Module):
 class _Kernel(lnn.Module):
     """Bias-free Dense kernel declared so the parent can ALSO hand the
     raw weight matrix to a fused Pallas kernel. Parameter path
-    (``<name>/kernel``) and initializer match ``lnn.Dense``."""
+    (``<name>/kernel``) and initializer match the framework's Dense
+    layers (torch-faithful init, nn/init.py)."""
 
     features: int
 
     @lnn.compact
     def __call__(self, x):
-        w = self.param("kernel", lnn.initializers.lecun_normal(),
+        w = self.param("kernel", torch_linear_kernel,
                        (x.shape[-1], self.features), jnp.float32)
         return w
 

@@ -13,6 +13,7 @@ from typing import Callable, Optional, Sequence
 import flax.linen as lnn
 import jax.numpy as jnp
 
+from .init import torch_linear_kernel
 from .nonlin import BatchNorm, VectorNonLin, leaky_relu02
 
 __all__ = ["MLP", "VectorMLP", "ScalarVectorMLP", "ScalarVectorIdentity"]
@@ -44,6 +45,7 @@ class MLP(lnn.Module):
         dt = jnp.dtype(self.dtype) if self.dtype else None
         for i, ch in enumerate(self.channels):
             x = lnn.Dense(ch, use_bias=False, dtype=dt,
+                          kernel_init=torch_linear_kernel,
                           name=f"lin{i}")(x)
             x = BatchNorm(name=f"bn{i}", axis_name=self.axis_name)(
                 x, train=train, mask=mask)
@@ -73,6 +75,7 @@ class VectorMLP(lnn.Module):
         dt = jnp.dtype(self.dtype) if self.dtype else None
         for i, ch in enumerate(self.channels):
             v = lnn.Dense(ch, use_bias=False, dtype=dt,
+                          kernel_init=torch_linear_kernel,
                           name=f"lin{i}")(v)
             v = VectorNonLin(
                 use_batchnorm=self.use_batchnorm, name=f"nonlin{i}",

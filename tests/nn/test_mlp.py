@@ -75,8 +75,10 @@ def test_vectormlp_equivariance(rng):
                                      (apply2, vars2, out2)):
         mlp_tv = apply_fn(variables, tv)
         t_mlp_v = jnp.einsum("nij,njc->nic", T, out)
+        # Activations are order +-3; 5e-5 absolute is float-roundoff
+        # headroom (a real equivariance break is order-1 everywhere).
         np.testing.assert_allclose(
-            np.asarray(mlp_tv), np.asarray(t_mlp_v), atol=1e-5
+            np.asarray(mlp_tv), np.asarray(t_mlp_v), atol=5e-5
         )
 
 
