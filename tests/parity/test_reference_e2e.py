@@ -86,6 +86,35 @@ def test_classification_logits_match_executed_reference(reference):
 
 
 @pytest.mark.slow
+def test_classification_logits_match_without_normals(reference):
+    """No-normals path: the reference estimates frames from a 10-NN
+    SVD (deltanet_base.py:64-66); ours from the closed-form 3x3 eigh.
+    On surface-like clouds the WLS is well-conditioned and the two
+    pipelines agree to ~1e-7 (the with-normals test's 3e-4 budget is
+    conditioning amplification from its deliberately random normals)."""
+    from deltaconv_tpu.data import synthetic_classification_batch
+
+    b, n = 2, 128
+    d = synthetic_classification_batch(3, b, n, 4)
+    pos = torch.from_numpy(np.asarray(d["pos"]).reshape(b * n, 3))
+    batch = torch.arange(b).repeat_interleave(n)
+    torch.manual_seed(0)
+    rmodel = reference.models.DeltaNetClassification(
+        in_channels=3, num_classes=40)
+    rmodel.eval()
+    with torch.no_grad():
+        want = rmodel(Data(pos=pos, batch=batch, norm=None)).numpy()
+
+    from deltaconv_tpu.models import DeltaNetClassification
+
+    model = DeltaNetClassification(num_classes=40, dense_operators=True,
+                                   knn_method="exact")
+    got = np.asarray(model.apply(_imported(rmodel), jnp.asarray(d["pos"]),
+                                 train=False))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+@pytest.mark.slow
 def test_segmentation_logits_match_executed_reference(reference):
     b, n, classes = 2, 128, 8
     pos, normal, batch = _cloud(1, b, n)
