@@ -175,9 +175,15 @@ def _dense_from_coef(nbr_idx, coef, n, dtype):
     """
     iota = jnp.arange(n, dtype=jnp.int32)
     onehot = (nbr_idx[..., None] == iota).astype(dtype)  # [..., N, K, N]
+    # HIGHEST: on TPU the DEFAULT matmul precision truncates f32 inputs
+    # to one bf16 MXU pass, which breaks this fallback's exact-f32
+    # contract when duplicate neighbor columns nearly cancel (the
+    # Pallas kernel accumulates in f32; test_densify_pallas_matches_xla
+    # pins agreement). For bf16 inputs HIGHEST is the same single pass.
     return jnp.einsum(
         "...nkd,...nkm->...dnm", coef.astype(dtype), onehot,
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 

@@ -264,25 +264,32 @@ def _bwd_mm_kernel(idx_ref, win1_ref, g1_ref, win2_ref, g2_ref, dh_ref,
     onehot = build_onehot(idx_ref, t, n, k)  # [K*T, N]
 
     def masked(win_ref, g_ref_, kk):
-        return jnp.where(win_ref[0] == kk, g_ref_[0], 0.0)
+        # Cotangent blocks arrive bf16 — PRE-SPLIT [T, 2C] hi/lo when
+        # ``paired`` (built behind a barrier in _pallas_bwd_mm;
+        # splitting in-kernel is unsafe: the compiler cancels
+        # g - f32(bf16(g)) to zero under XLA/interpret lowering,
+        # silently degrading f32 cotangent routing to single-bf16).
+        # The winner map broadcasts over both halves.
+        w = win_ref[0]
+        g = g_ref_[0]
+        if paired:
+            w = jnp.concatenate([w, w], axis=-1)
+        return jnp.where(w == kk, g, jnp.zeros_like(g))
 
-    rows = []
-    for kk in range(k):
-        gk = masked(win1_ref, g1_ref, kk)
-        if two:
-            gk = gk + masked(win2_ref, g2_ref, kk)
-        rows.append(gk)
-    g_all = jnp.concatenate(rows, axis=0)  # [K*T, C]
-    ghi = g_all.astype(jnp.bfloat16)
-    if paired:
-        glo = (g_all - ghi.astype(jnp.float32)).astype(jnp.bfloat16)
-        gcat = jnp.concatenate([ghi, glo], axis=-1)  # [K*T, 2C]
-    else:
-        gcat = ghi
-    acc = jax.lax.dot_general(
-        onehot, gcat, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [N, 2C|C]
+    # One contraction per winner map (summing the two maps' bf16
+    # halves before the dot would round; the extra dot is exact and
+    # two=True is off the training hot path).
+    entries = [(win1_ref, g1_ref)] + ([(win2_ref, g2_ref)] if two else [])
+    acc = None
+    for win_ref, g_ref_ in entries:
+        gcat = jnp.concatenate(
+            [masked(win_ref, g_ref_, kk) for kk in range(k)],
+            axis=0)  # [K*T, 2C|C] bf16
+        part = jax.lax.dot_general(
+            onehot, gcat, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [N, 2C|C]
+        acc = part if acc is None else acc + part
 
     @pl.when(pl.program_id(1) == 0)
     def _init():
@@ -309,11 +316,19 @@ def _pallas_bwd_mm(idx, winners_and_gs, n_out, tile=128):
     n_pad = idx_p.shape[1]
     two = len(winners_and_gs) == 2
     args = [idx_p]
-    g_dt = jnp.bfloat16 if not paired else jnp.float32
     for w, g in winners_and_gs:
         # Padded rows: winner slot 0 with g = 0 contributes nothing.
         args.append(_pad_to(w.astype(jnp.int32), tile, 1))
-        args.append(_pad_to(g.astype(g_dt), tile, 1))
+        gp = _pad_to(g.astype(jnp.float32), tile, 1)
+        if paired:
+            # Exact hi/lo split OUTSIDE the kernel, behind a barrier
+            # (see _bwd_mm_kernel's masked()).
+            ghi = jax.lax.optimization_barrier(gp.astype(jnp.bfloat16))
+            glo = (gp - ghi.astype(jnp.float32)).astype(jnp.bfloat16)
+            gp = jnp.concatenate([ghi, glo], axis=-1)  # [B, N_pad, 2C]
+        else:
+            gp = gp.astype(jnp.bfloat16)  # exact: g was bf16 already
+        args.append(gp)
     if not two:
         args.append(args[1])  # dummy refs, ignored when two=False
         args.append(args[2])
@@ -322,11 +337,13 @@ def _pallas_bwd_mm(idx, winners_and_gs, n_out, tile=128):
                             memory_space=pltpu.VMEM)
     spec_nc = pl.BlockSpec((1, tile, c), lambda ib, it: (ib, it, 0),
                            memory_space=pltpu.VMEM)
+    spec_ncw = pl.BlockSpec((1, tile, cw), lambda ib, it: (ib, it, 0),
+                            memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_bwd_mm_kernel, k=k, n=n_out, two=two,
                           paired=paired),
         grid=(b, n_pad // tile),
-        in_specs=[spec_idx, spec_nc, spec_nc, spec_nc, spec_nc],
+        in_specs=[spec_idx, spec_nc, spec_ncw, spec_nc, spec_ncw],
         out_specs=pl.BlockSpec((1, n_out, cw), lambda ib, it: (ib, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n_out, cw), jnp.float32),

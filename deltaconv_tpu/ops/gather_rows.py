@@ -101,20 +101,21 @@ def _fwd_kernel_blocked(idx_ref, hilo_ref, out_ref, *, k, n, nb):
 def _bwd_kernel(idx_ref, g_ref, dt_ref, *, k, n):
     """dtable[m, c] = sum over edges (t, kk) with idx[t, kk] == m of
     g[kk, t, c] — the transposed one-hot contraction, accumulated over
-    the point-tile grid axis."""
+    the point-tile grid axis.
+
+    The cotangent arrives PRE-SPLIT hi/lo (``[2C, K, T]`` bf16, built
+    behind an optimization_barrier in ``_scatter_impl``): splitting
+    inside the kernel is unsafe — the compiler (XLA in interpret mode,
+    and newer Mosaic pipelines) cancels ``g - f32(bf16(g))`` to zero,
+    silently degrading the backward to single-bf16 (~0.4% relative;
+    caught by the TPU gradient tests)."""
     t = idx_ref.shape[1]
+    c2 = g_ref.shape[1]
     onehot = build_onehot(idx_ref, t, n, k)  # [K*T, N]
-    g = g_ref[0]  # [C, K, T] (component-major cotangent)
-    gf = g.reshape(g.shape[0], k * t).T  # [K*T, C]
-    # Exact transposed matmul: split the f32 cotangent hi/lo so the
-    # bf16 MXU pass loses nothing (one-hot entries are exact in bf16).
-    # No optimization_barrier here — Mosaic cannot lower it, and
-    # (unlike XLA, see _fwd) does not cancel f32(bf16(x)) -> x; the
-    # TPU gradient test pins this.
-    ghi = gf.astype(jnp.bfloat16)
-    glo = (gf - ghi.astype(jnp.float32)).astype(jnp.bfloat16)
-    acc = jnp.dot(onehot.T, ghi, preferred_element_type=jnp.float32)
-    acc = acc + jnp.dot(onehot.T, glo, preferred_element_type=jnp.float32)
+    g = g_ref[0]  # [2C, K, T] bf16 (hi stacked on lo)
+    gf = g.reshape(c2, k * t).T  # [K*T, 2C]
+    both = jnp.dot(onehot.T, gf, preferred_element_type=jnp.float32)
+    acc = both[:, :c2 // 2] + both[:, c2 // 2:]
 
     @pl.when(pl.program_id(1) == 0)
     def _init():
@@ -125,16 +126,16 @@ def _bwd_kernel(idx_ref, g_ref, dt_ref, *, k, n):
 
 def _bwd_kernel_blocked(idx_ref, g_ref, dt_ref, *, k, n, nb):
     """Large-N backward: column-blocked transposed one-hot matmuls
-    (see ``_fwd_kernel_blocked``), exact hi/lo cotangent split.
-    ``n`` is the padded table length (a multiple of ``nb``)."""
+    (see ``_fwd_kernel_blocked``); cotangent pre-split hi/lo like
+    ``_bwd_kernel``. ``n`` is the padded table length (a multiple of
+    ``nb``)."""
     t = idx_ref.shape[1]
     w = n // nb
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (t, w), 1)
     idx = idx_ref[0]
-    g = g_ref[0]  # [C, K, T]
-    gf = g.reshape(g.shape[0], k * t).T  # [K*T, C]
-    ghi = gf.astype(jnp.bfloat16)
-    glo = (gf - ghi.astype(jnp.float32)).astype(jnp.bfloat16)
+    c2 = g_ref.shape[1]
+    g = g_ref[0]  # [2C, K, T] bf16
+    gf = g.reshape(c2, k * t).T  # [K*T, 2C]
 
     @pl.when(pl.program_id(1) == 0)
     def _init():
@@ -147,10 +148,9 @@ def _bwd_kernel_blocked(idx_ref, g_ref, dt_ref, *, k, n, nb):
             for kk in range(k)
         ]
         onehot = jnp.concatenate(ones, axis=0)  # [K*T, W]
-        acc = jnp.dot(onehot.T, ghi, preferred_element_type=jnp.float32)
-        acc = acc + jnp.dot(onehot.T, glo,
-                            preferred_element_type=jnp.float32)
-        dt_ref[0, b0 * w:(b0 + 1) * w, :] += acc
+        both = jnp.dot(onehot.T, gf, preferred_element_type=jnp.float32)
+        dt_ref[0, b0 * w:(b0 + 1) * w, :] += (
+            both[:, :c2 // 2] + both[:, c2 // 2:])
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -284,6 +284,14 @@ def _scatter_impl(g, idx, tshape, tile, interpret):
     idx_p = _pad_to(idx.astype(jnp.int32), tile, 1)
     n_pad = idx_p.shape[1]
     g_p = _pad_to(g.astype(jnp.float32), tile, 3)
+    # Exact transposed matmul: split the f32 cotangent hi/lo OUTSIDE
+    # the kernel (the barrier stops XLA cancelling the round-trip; the
+    # same bug bites inside the kernel body — see _bwd_kernel) and
+    # stack on the channel axis so one bf16 dot per block reconstructs
+    # the f32 contraction exactly (one-hot entries are exact in bf16).
+    g_hi = jax.lax.optimization_barrier(g_p.astype(jnp.bfloat16))
+    g_lo = (g_p - g_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    g_hilo = jnp.concatenate([g_hi, g_lo], axis=1)  # [B, 2C, K, N_pad]
 
     dt = pl.pallas_call(
         functools.partial(_bwd_kernel_blocked, k=k, n=n_tab, nb=nb)
@@ -292,14 +300,14 @@ def _scatter_impl(g, idx, tshape, tile, interpret):
         in_specs=[
             pl.BlockSpec((1, tile, k), lambda ib, it: (ib, it, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c, k, tile), lambda ib, it: (ib, 0, 0, it),
+            pl.BlockSpec((1, 2 * c, k, tile), lambda ib, it: (ib, 0, 0, it),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, n_tab, c), lambda ib, it: (ib, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n_tab, c), jnp.float32),
         interpret=interpret,
-    )(idx_p, g_p)
+    )(idx_p, g_hilo)
     return dt[:, :n, :c_in]
 
 

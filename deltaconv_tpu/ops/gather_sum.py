@@ -66,13 +66,15 @@ def _fwd_kernel(idx_ref, mask_ref, hilo_ref, out_ref, *, k, n):
 def _bwd_kernel(idx_ref, mask_ref, g_ref, dh_ref, *, k, n):
     t = idx_ref.shape[1]
     adj = _adjacency(idx_ref, mask_ref, t, n, k, twice=False)  # [T, N]
-    g = g_ref[0]  # [T, C] f32
-    # No barrier in-kernel (Mosaic can't lower it and doesn't apply
-    # XLA's excess-precision cancellation; TPU gradient test pins it).
-    ghi = g.astype(jnp.bfloat16)
-    glo = (g - ghi.astype(jnp.float32)).astype(jnp.bfloat16)
-    acc = jnp.dot(adj.T, ghi, preferred_element_type=jnp.float32)
-    acc = acc + jnp.dot(adj.T, glo, preferred_element_type=jnp.float32)
+    # Cotangent arrives PRE-SPLIT hi/lo ([T, 2C] bf16, barrier-built
+    # in _gather_sum_bwd): splitting in-kernel is unsafe — the
+    # compiler (XLA under interpret, and newer lowering pipelines)
+    # cancels g - f32(bf16(g)) to zero, silently degrading the
+    # backward to single-bf16 (caught by the TPU gradient tests).
+    g = g_ref[0]  # [T, 2C] bf16
+    c2 = g.shape[-1]
+    both = jnp.dot(adj.T, g, preferred_element_type=jnp.float32)
+    acc = both[:, :c2 // 2] + both[:, c2 // 2:]
 
     @pl.when(pl.program_id(1) == 0)
     def _init():
@@ -149,6 +151,11 @@ def _gather_sum_bwd(tile, interpret, res, g):
     mask_p = _pad_to(mask.astype(jnp.int32), tile, 1)
     n_pad = idx_p.shape[1]
     g_p = _pad_to(g, tile, 1)
+    # Exact hi/lo cotangent split, built OUTSIDE the kernel behind a
+    # barrier (see _bwd_kernel).
+    g_hi = jax.lax.optimization_barrier(g_p.astype(jnp.bfloat16))
+    g_lo = (g_p - g_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    g_hilo = jnp.concatenate([g_hi, g_lo], axis=-1)  # [B, N_pad, 2C]
 
     dh = pl.pallas_call(
         functools.partial(_bwd_kernel, k=k, n=n),
@@ -158,14 +165,14 @@ def _gather_sum_bwd(tile, interpret, res, g):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile, k), lambda ib, it: (ib, it, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, c), lambda ib, it: (ib, it, 0),
+            pl.BlockSpec((1, tile, 2 * c), lambda ib, it: (ib, it, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, n, c), lambda ib, it: (ib, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n, c), jnp.float32),
         interpret=interpret,
-    )(idx_p, mask_p, g_p)
+    )(idx_p, mask_p, g_hilo)
     return dh.astype(dtype_carrier.dtype), None, None
 
 
