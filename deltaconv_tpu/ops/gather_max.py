@@ -53,22 +53,27 @@ def fit_tile(tile, per_t_bytes, fixed_bytes=0, budget=10 * 2**20,
     return tile
 
 
-def split_hilo(h):
+def split_hilo(h, axis=-1):
     """(packed_table, paired): f32 features are split h = hi + lo and
-    lane-packed as [..., 2C] for an exact gather; bf16 features are
-    already exactly representable, so the kernels run a single pass
-    at half the FLOPs (the mixed-precision path)."""
+    lane-packed as [..., 2C] along ``axis`` for an exact gather; bf16
+    features are already exactly representable, so the kernels run a
+    single pass at half the FLOPs (the mixed-precision path).
+
+    The barrier placement is load-bearing and this helper is the ONE
+    place that owns the idiom (the backward wrappers of gather_rows/
+    gather_sum and _pallas_bwd_mm all route through it): without the
+    barrier the compiler's excess-precision simplifier cancels
+    f32(bf16(h)) -> h under jit — in XLA lowering AND in interpret-mode
+    Pallas — folding lo to zero and silently degrading the two-pass
+    contraction to single-pass bf16 (observed: 2e-3 rel error at
+    C >= 128 while eager stayed exact; the TPU gradient tests pin it).
+    """
     if h.dtype == jnp.bfloat16:
         return h, False
     hf = h.astype(jnp.float32)
-    hi = hf.astype(jnp.bfloat16)
-    # Without the barrier XLA's excess-precision simplifier cancels
-    # f32(bf16(h)) -> h under jit, folding lo to zero and silently
-    # degrading the gather to single-pass bf16 (observed: 2e-3 rel
-    # error at C >= 128 while eager stayed exact).
-    hi = jax.lax.optimization_barrier(hi)
+    hi = jax.lax.optimization_barrier(hf.astype(jnp.bfloat16))
     lo = (hf - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return jnp.concatenate([hi, lo], axis=-1), True
+    return jnp.concatenate([hi, lo], axis=axis), True
 
 
 # -- forward kernel ------------------------------------------------------
@@ -263,27 +268,25 @@ def _bwd_mm_kernel(idx_ref, win1_ref, g1_ref, win2_ref, g2_ref, dh_ref,
     t = idx_ref.shape[1]
     onehot = build_onehot(idx_ref, t, n, k)  # [K*T, N]
 
-    def masked(win_ref, g_ref_, kk):
-        # Cotangent blocks arrive bf16 — PRE-SPLIT [T, 2C] hi/lo when
-        # ``paired`` (built behind a barrier in _pallas_bwd_mm;
-        # splitting in-kernel is unsafe: the compiler cancels
-        # g - f32(bf16(g)) to zero under XLA/interpret lowering,
-        # silently degrading f32 cotangent routing to single-bf16).
-        # The winner map broadcasts over both halves.
-        w = win_ref[0]
-        g = g_ref_[0]
-        if paired:
-            w = jnp.concatenate([w, w], axis=-1)
-        return jnp.where(w == kk, g, jnp.zeros_like(g))
-
+    # Cotangent blocks arrive bf16 — PRE-SPLIT [T, 2C] hi/lo when
+    # ``paired`` (split_hilo in _pallas_bwd_mm; splitting in-kernel is
+    # unsafe — the compiler cancels g - f32(bf16(g)) to zero under
+    # XLA/interpret lowering, silently degrading f32 cotangent routing
+    # to single-bf16). The winner map is widened ONCE per entry so the
+    # per-k compare runs at the cotangent's width.
+    #
     # One contraction per winner map (summing the two maps' bf16
     # halves before the dot would round; the extra dot is exact and
     # two=True is off the training hot path).
     entries = [(win1_ref, g1_ref)] + ([(win2_ref, g2_ref)] if two else [])
     acc = None
     for win_ref, g_ref_ in entries:
+        w = win_ref[0]
+        if paired:
+            w = jnp.concatenate([w, w], axis=-1)
+        g = g_ref_[0]
         gcat = jnp.concatenate(
-            [masked(win_ref, g_ref_, kk) for kk in range(k)],
+            [jnp.where(w == kk, g, jnp.zeros_like(g)) for kk in range(k)],
             axis=0)  # [K*T, 2C|C] bf16
         part = jax.lax.dot_general(
             onehot, gcat, (((0,), (0,)), ((), ())),
@@ -321,11 +324,9 @@ def _pallas_bwd_mm(idx, winners_and_gs, n_out, tile=128):
         args.append(_pad_to(w.astype(jnp.int32), tile, 1))
         gp = _pad_to(g.astype(jnp.float32), tile, 1)
         if paired:
-            # Exact hi/lo split OUTSIDE the kernel, behind a barrier
-            # (see _bwd_mm_kernel's masked()).
-            ghi = jax.lax.optimization_barrier(gp.astype(jnp.bfloat16))
-            glo = (gp - ghi.astype(jnp.float32)).astype(jnp.bfloat16)
-            gp = jnp.concatenate([ghi, glo], axis=-1)  # [B, N_pad, 2C]
+            # Exact hi/lo split OUTSIDE the kernel (split_hilo owns the
+            # barrier idiom; see _bwd_mm_kernel's masked()).
+            gp, _ = split_hilo(gp)  # [B, N_pad, 2C]
         else:
             gp = gp.astype(jnp.bfloat16)  # exact: g was bf16 already
         args.append(gp)

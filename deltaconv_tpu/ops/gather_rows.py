@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .gather_max import build_onehot
+from .gather_max import build_onehot, split_hilo
 
 __all__ = ["gather_rows", "scatter_rows"]
 
@@ -200,9 +200,7 @@ def _fwd(table, idx, tile, interpret, pad_cols=False):
     tf = _pad_to(table.astype(jnp.float32), 8, 2)
     if n_tab != n:
         tf = jnp.pad(tf, ((0, 0), (0, n_tab - n), (0, 0)))
-    hi = jax.lax.optimization_barrier(tf.astype(jnp.bfloat16))
-    lo = (tf - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    hilo = jnp.concatenate([hi, lo], axis=-1)  # [B, N_tab, 2C]
+    hilo, _ = split_hilo(tf)  # [B, N_tab, 2C] (tf is f32: always paired)
 
     out = pl.pallas_call(
         functools.partial(_fwd_kernel_blocked, k=k, n=n_tab, nb=nb)
@@ -285,13 +283,11 @@ def _scatter_impl(g, idx, tshape, tile, interpret):
     n_pad = idx_p.shape[1]
     g_p = _pad_to(g.astype(jnp.float32), tile, 3)
     # Exact transposed matmul: split the f32 cotangent hi/lo OUTSIDE
-    # the kernel (the barrier stops XLA cancelling the round-trip; the
-    # same bug bites inside the kernel body — see _bwd_kernel) and
-    # stack on the channel axis so one bf16 dot per block reconstructs
-    # the f32 contraction exactly (one-hot entries are exact in bf16).
-    g_hi = jax.lax.optimization_barrier(g_p.astype(jnp.bfloat16))
-    g_lo = (g_p - g_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    g_hilo = jnp.concatenate([g_hi, g_lo], axis=1)  # [B, 2C, K, N_pad]
+    # the kernel (split_hilo owns the barrier idiom; the same bug bites
+    # inside the kernel body — see _bwd_kernel), stacked on the channel
+    # axis so one bf16 dot per block reconstructs the f32 contraction
+    # exactly (one-hot entries are exact in bf16).
+    g_hilo, _ = split_hilo(g_p, axis=1)  # [B, 2C, K, N_pad]
 
     dt = pl.pallas_call(
         functools.partial(_bwd_kernel_blocked, k=k, n=n_tab, nb=nb)

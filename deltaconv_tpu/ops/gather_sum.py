@@ -27,6 +27,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .gather_max import split_hilo
+
 __all__ = ["gather_sum"]
 
 
@@ -105,10 +107,8 @@ def _fwd(h, idx, mask, tile, interpret):
     mask_p = _pad_to(mask.astype(jnp.int32), tile, 1)
     n_pad = idx_p.shape[1]
 
-    hf = h.astype(jnp.float32)
-    hi = jax.lax.optimization_barrier(hf.astype(jnp.bfloat16))
-    lo = (hf - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    hilo = jnp.concatenate([hi, lo], axis=1)  # [B, 2N, C]
+    # hf is f32 by construction, so split_hilo always row-stacks.
+    hilo, _ = split_hilo(h.astype(jnp.float32), axis=1)  # [B, 2N, C]
 
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, k=k, n=n),
@@ -152,10 +152,8 @@ def _gather_sum_bwd(tile, interpret, res, g):
     n_pad = idx_p.shape[1]
     g_p = _pad_to(g, tile, 1)
     # Exact hi/lo cotangent split, built OUTSIDE the kernel behind a
-    # barrier (see _bwd_kernel).
-    g_hi = jax.lax.optimization_barrier(g_p.astype(jnp.bfloat16))
-    g_lo = (g_p - g_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    g_hilo = jnp.concatenate([g_hi, g_lo], axis=-1)  # [B, N_pad, 2C]
+    # barrier (split_hilo owns the idiom; see _bwd_kernel).
+    g_hilo, _ = split_hilo(g_p.astype(jnp.float32))  # [B, N_pad, 2C]
 
     dh = pl.pallas_call(
         functools.partial(_bwd_kernel, k=k, n=n),

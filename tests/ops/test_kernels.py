@@ -152,10 +152,12 @@ def test_densify_pallas_matches_numpy_tpu(rng):
 @pytest.mark.skipif(not ON_TPU, reason="pallas kernels need a TPU")
 def test_gather_backwards_exact_on_tpu(rng):
     """The Pallas VJP kernels (gather_rows/gather_sum transposed
-    matmuls) must deliver exact f32 cotangents on real TPU: their
-    in-kernel hi/lo splits have NO optimization_barrier (Mosaic cannot
-    lower it), relying on Mosaic not performing XLA's
-    excess-precision cancellation. Compares against numpy."""
+    matmuls) must deliver exact f32 cotangents on real TPU. The hi/lo
+    cotangent split is built OUTSIDE the kernels behind an
+    optimization_barrier (ops/gather_max.py split_hilo) — the compiler
+    cancels an in-kernel ``g - f32(bf16(g))`` to zero, silently
+    degrading the backward to single-bf16; this test red-lines that
+    regression. Compares against numpy."""
     from deltaconv_tpu.ops.gather_rows import gather_rows
     from deltaconv_tpu.ops.gather_sum import gather_sum
 
