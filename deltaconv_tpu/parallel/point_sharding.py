@@ -112,44 +112,46 @@ class ShardedGradDiv:
                           precision=jax.lax.Precision.HIGHEST
                           ).astype(v.dtype)
 
-    def _masked(self, h, fill):
-        g = self._full(h)[self.nbr_idx].astype(jnp.float32)
-        return jnp.where(self.nbr_mask[..., None], g, fill)
+    def _gathered(self, table):
+        """Indexes an already-FULL table into masked-ready f32
+        neighbor values ``[n_l, K, C]`` (callers that hold the full
+        table must NOT route through :meth:`_full` again — a D-fold
+        buffer blow-up)."""
+        return table[self.nbr_idx].astype(jnp.float32)
+
+    def _max_of(self, g):
+        return jnp.max(jnp.where(self.nbr_mask[..., None], g, _NEG),
+                       axis=-2)
+
+    def _min_of(self, g):
+        return jnp.min(jnp.where(self.nbr_mask[..., None], g, -_NEG),
+                       axis=-2)
+
+    def _matmul_full(self, x, w):
+        return jnp.dot(self._full(x), w,
+                       preferred_element_type=jnp.float32).astype(x.dtype)
 
     def nbr_max(self, h, self_slot0: bool = True):
-        out = jnp.max(self._masked(h, _NEG), axis=-2)
+        out = self._max_of(self._gathered(self._full(h)))
         any_valid = jnp.any(self.nbr_mask, axis=-1)[..., None]
         return jnp.where(any_valid, out, 0.0).astype(h.dtype)
 
     def nbr_minmax(self, h, self_slot0: bool = True):
-        g = self._full(h)[self.nbr_idx].astype(jnp.float32)
-        mask = self.nbr_mask[..., None]
-        mx = jnp.max(jnp.where(mask, g, _NEG), axis=-2)
-        mn = jnp.min(jnp.where(mask, g, -_NEG), axis=-2)
+        g = self._gathered(self._full(h))
+        mx, mn = self._max_of(g), self._min_of(g)
         if h.dtype == jnp.bfloat16:
             mx, mn = mx.astype(h.dtype), mn.astype(h.dtype)
         return mx, mn
 
     def nbr_matmul_minmax(self, x, w, self_slot0: bool = True):
-        # ``y`` is already the FULL table — index it directly (like
-        # nbr_matmul_max below); routing through nbr_minmax would
-        # all-gather the full table AGAIN, a D-fold buffer blow-up.
-        y = jnp.dot(self._full(x), w,
-                    preferred_element_type=jnp.float32).astype(x.dtype)
-        g = y[self.nbr_idx].astype(jnp.float32)
-        mask = self.nbr_mask[..., None]
-        mx = jnp.max(jnp.where(mask, g, _NEG), axis=-2)
-        mn = jnp.min(jnp.where(mask, g, -_NEG), axis=-2)
+        g = self._gathered(self._matmul_full(x, w))
+        mx, mn = self._max_of(g), self._min_of(g)
         if x.dtype == jnp.bfloat16:
             mx, mn = mx.astype(x.dtype), mn.astype(x.dtype)
         return mx, mn
 
     def nbr_matmul_max(self, x, w, self_slot0: bool = True):
-        y = jnp.dot(self._full(x), w,
-                    preferred_element_type=jnp.float32).astype(x.dtype)
-        g = y[self.nbr_idx].astype(jnp.float32)
-        out = jnp.max(jnp.where(self.nbr_mask[..., None], g, _NEG),
-                      axis=-2)
+        out = self._max_of(self._gathered(self._matmul_full(x, w)))
         return out.astype(x.dtype)
 
     def nbr_sum(self, h, mask=None):
@@ -174,10 +176,14 @@ def _build_local(pos_l, normal_l, pm_l, k, axis, kernel_width,
 
     nbr_idx = _local_knn(pos_l, pos_full, k, offset, pm_full)
     if normal_l is None:
-        nbr_n = _local_knn(pos_l, pos_full, min(normal_k, k), offset,
-                           pm_full)
-        n_, xb, yb = estimate_basis(pos_l, nbr_n, orientation=pos_l,
-                                    table=pos_full)
+        # Mirror the single-chip path (deltanet_base.py:63-65): a
+        # normal_k-NN graph — NOT clamped by the conv's k — and the
+        # padded-neighbor mask, so estimated frames match the
+        # single-device forward exactly.
+        nbr_n = _local_knn(pos_l, pos_full, normal_k, offset, pm_full)
+        mask_n = None if pm_full is None else pm_full[nbr_n]
+        n_, xb, yb = estimate_basis(pos_l, nbr_n, mask_n,
+                                    orientation=pos_l, table=pos_full)
     else:
         n_ = normal_l
         xb, yb = build_tangent_basis(n_)
@@ -344,15 +350,23 @@ def point_sharded_train_step(mesh: Mesh, model, axis: str = "points",
     the mean across shards restores the single-device gradient
     (verified against ``make_train_step`` in the tests).
     """
-    from ..training.losses import smooth_cross_entropy
+    from ..training.losses import smooth_cross_entropy, smooth_nll
 
     model = model.clone(point_axis_name=axis)
 
     def fwd(params, batch_stats, pos_l, normal_l, pm_l, label, rng,
             cat):
-        # Decorrelate dropout masks across shards (each shard owns
-        # different rows of the cloud).
-        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+        if per_point:
+            # Segmentation dropout acts on PER-POINT (sharded) rows:
+            # fold in the shard index so masks are independent across
+            # shards (one shared rng would tie row i of every shard to
+            # the same mask — the wrong dropout distribution).
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+        # Classification dropout acts on the post-pool REPLICATED
+        # stream: every shard must draw the SAME mask (a per-shard
+        # fold_in would diverge logits/loss/head batch_stats that the
+        # out_specs declare replicated) — and the pooled shapes match
+        # the single-device step, so parity is exact there.
 
         def loss_fn(p):
             gd = _build_local(pos_l, normal_l, pm_l,
@@ -369,15 +383,10 @@ def point_sharded_train_step(mesh: Mesh, model, axis: str = "points",
             )
             if per_point:
                 # label: [n_local] rows of this shard. Masked local
-                # sum, completed with psums (same smoothing formula as
-                # training.losses.smooth_cross_entropy).
-                c = logits.shape[-1]
-                logp = jax.nn.log_softmax(logits, axis=-1)
-                onehot = jax.nn.one_hot(label, c, dtype=logits.dtype)
-                off = smoothing / max(c - 1, 1)
-                target = (onehot * (1.0 - smoothing)
-                          + (1.0 - onehot) * off)
-                nll = -jnp.sum(target * logp, axis=-1)
+                # sum of the shared per-element nll, completed with
+                # psums (the smoothing convention lives in ONE place:
+                # training.losses.smooth_nll).
+                nll = smooth_nll(logits, label, smoothing)
                 m = (jnp.ones_like(nll) if pm_l is None
                      else pm_l.astype(nll.dtype))
                 s = jax.lax.psum(jnp.sum(nll * m), axis)

@@ -183,6 +183,10 @@ class InferenceEngine:
                 [pos, np.zeros((pad, 3), np.float32)])
         if normal is not None:
             normal = np.asarray(normal, np.float32)
+            if normal.shape[:1] != (n,):
+                raise ValueError(
+                    f"normals have {normal.shape[0]} rows for a cloud "
+                    f"of {n} points — they must match per cloud")
             if pad:
                 normal = np.concatenate(
                     [normal, np.tile(_PAD_NORMAL, (pad, 1))])
@@ -241,6 +245,8 @@ class InferenceEngine:
         the reference eval augmentation (RandomScale 4/5..5/4 +
         RandomTranslateGlobal 0.1). Returns the same shapes as
         :meth:`predict`."""
+        if num_votes < 1:
+            raise ValueError(f"num_votes must be >= 1, got {num_votes}")
         if len(clouds) == 0:
             return []
         if augment is None:
@@ -261,9 +267,13 @@ class InferenceEngine:
         rng = jax.random.PRNGKey(seed)
         total = None
         for _ in range(num_votes):
-            rng, key = jax.random.split(rng)
             outs = []
             for pos, normal, mask, cat, keep in batches:
+                # One key per (vote, chunk): reusing a vote's key across
+                # chunks would give clouds in the same intra-batch slot
+                # of different chunks IDENTICAL augmentation draws on
+                # every vote, correlating vote diversity across chunks.
+                rng, key = jax.random.split(rng)
                 p, n = aug(key, pos, normal if has_normal else None)
                 n = n if n is not None else normal
                 out = np.asarray(fwd(self.variables, p, n, mask, cat),

@@ -92,14 +92,18 @@ def fit(model, state: TrainState, train_loader, test_loader,
             eval_fn = lambda s: evaluate_classification(model, s, test_loader)
 
     step_idx = int(state.step)
-    running = 0.0
+    # Metrics stay DEVICE arrays inside the epoch (a float() per step
+    # would block the host every step, serializing the input pipeline
+    # against device compute); they are fetched once per log window /
+    # epoch.
+    loss_window = []
     for epoch in range(start_epoch, config.epochs + 1):
         # Per-epoch streams are pure functions of (seed, epoch) so a
         # resumed run reproduces the uninterrupted trajectory.
         rng = jax.random.fold_in(jax.random.PRNGKey(config.seed), epoch)
         if hasattr(train_loader, "set_epoch"):
             train_loader.set_epoch(epoch)
-        preds, trues = [], []
+        accs = []
         for batch in train_loader:
             batch = _device_batch(batch)
             if aug_fn is not None:
@@ -108,13 +112,15 @@ def fit(model, state: TrainState, train_loader, test_loader,
             rng, key = jax.random.split(rng)
             state, metrics = train_step(state, batch, key)
             step_idx += 1
-            running += float(metrics["loss"])
+            loss_window.append(metrics["loss"])
             if step_idx % config.log_every == 0:
-                logger.add_scalar("training loss",
-                                  running / config.log_every, step_idx)
-                running = 0.0
-            preds.append(float(metrics["accuracy"]))
-        logger.add_scalar("training accuracy", float(np.mean(preds)), epoch)
+                logger.add_scalar(
+                    "training loss",
+                    float(np.mean(jax.device_get(loss_window))), step_idx)
+                loss_window = []
+            accs.append(metrics["accuracy"])
+        logger.add_scalar("training accuracy",
+                          float(np.mean(jax.device_get(accs))), epoch)
 
         scalars = eval_fn(state)
         for tag, value in scalars.items():
@@ -183,20 +189,30 @@ def evaluate_voting(model, state, loader, augment, num_votes: int = 10,
 
     logits_sum, trues, cats = [], [], []
     for v in range(num_votes):
-        batch_logits = []
+        batch_logits, vote_labels = [], []
         for i, batch in enumerate(loader):
             batch = _device_batch(batch)
+            vote_labels.append(np.asarray(batch["label"]))
             if aug_fn is not None:
                 rng, key = jax.random.split(rng)
                 batch = aug_fn(key, batch)
             batch_logits.append(np.asarray(eval_step(state, batch)))
             if v == 0:
-                trues.append(np.asarray(batch["label"]))
+                trues.append(vote_labels[-1])
                 if "category" in batch:
                     cats.append(
                         np.argmax(np.asarray(batch["category"]), axis=-1)
                     )
         stacked = np.concatenate(batch_logits)
+        if v > 0 and (len(vote_labels) != len(trues) or not all(
+                np.array_equal(a, b) for a, b in zip(vote_labels, trues))):
+            # Votes sum POSITIONALLY across loader passes: a loader that
+            # reshuffles between iterations would silently add cloud A's
+            # logits into cloud B's slot.
+            raise ValueError(
+                "evaluate_voting: the loader yielded a different sample "
+                "order on vote %d — disable shuffling (or pin the "
+                "loader's epoch) for voting evaluation" % v)
         logits_sum = stacked if v == 0 else logits_sum + stacked
 
     pred = np.argmax(logits_sum, axis=-1)

@@ -9,15 +9,29 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["cross_entropy", "smooth_cross_entropy"]
+__all__ = ["cross_entropy", "smooth_cross_entropy", "smooth_nll"]
+
+
+def smooth_nll(logits, labels, smoothing: float):
+    """Per-element label-smoothed negative log-likelihood ``[...]``:
+    targets are the eps-blended one-hot ``(1 - eps) * onehot +
+    eps / (C - 1) * (1 - onehot)`` — the true class keeps ``1 - eps``
+    and only the off-classes share ``eps`` (reference utils.py:13-20).
+    The ONE place that owns the smoothing convention (the point-sharded
+    train step reduces it with collectives instead of the local mean).
+    """
+    c = logits.shape[-1]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    onehot = jax.nn.one_hot(labels, c, dtype=logits.dtype)
+    off = smoothing / max(c - 1, 1)
+    target = onehot * (1.0 - smoothing) + (1.0 - onehot) * off
+    return -jnp.sum(target * logp, axis=-1)
 
 
 def smooth_cross_entropy(logits, labels, smoothing: float = 0.2,
                          label_mask=None):
-    """Label-smoothed cross entropy: targets are the eps-blended one-hot
-    ``(1 - eps) * onehot + eps / (C - 1) * (1 - onehot)`` — the true
-    class keeps ``1 - eps`` and only the off-classes share ``eps``
-    (reference utils.py:13-20).
+    """Label-smoothed cross entropy (see :func:`smooth_nll`), reduced
+    to the (optionally masked) mean.
 
     Args:
       logits: ``[..., C]``.
@@ -25,12 +39,7 @@ def smooth_cross_entropy(logits, labels, smoothing: float = 0.2,
       smoothing: blend factor eps; 0 reduces to plain cross-entropy.
       label_mask: optional ``[...]`` bool (masked entries excluded).
     """
-    c = logits.shape[-1]
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    onehot = jax.nn.one_hot(labels, c, dtype=logits.dtype)
-    off = smoothing / max(c - 1, 1)
-    target = onehot * (1.0 - smoothing) + (1.0 - onehot) * off
-    nll = -jnp.sum(target * logp, axis=-1)
+    nll = smooth_nll(logits, labels, smoothing)
     if label_mask is None:
         return jnp.mean(nll)
     m = label_mask.astype(nll.dtype)

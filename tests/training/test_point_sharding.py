@@ -143,10 +143,15 @@ def test_point_sharded_segmentation_matches(rng):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
-def test_point_sharded_train_step_matches_single_device(rng):
+@pytest.mark.parametrize("dropout", [0.0, 0.5])
+def test_point_sharded_train_step_matches_single_device(rng, dropout):
     """ONE training step (operator build + fwd + bwd + update) on a
     point-sharded cloud must reproduce the single-device step: psum'd
-    BatchNorm/edge statistics, pmean'd parameter gradients."""
+    BatchNorm/edge statistics, pmean'd parameter gradients.
+
+    dropout=0.5 pins the replicated-stream rng rule: classification
+    dropout acts POST-POOL, so every shard must draw the same mask
+    (a per-shard fold_in once diverged logits/loss across shards)."""
     from deltaconv_tpu.models import DeltaNetClassification
     from deltaconv_tpu.parallel.point_sharding import (
         point_sharded_train_step,
@@ -165,7 +170,7 @@ def test_point_sharded_train_step_matches_single_device(rng):
 
     model = DeltaNetClassification(
         num_classes=5, conv_channels=(16, 16), num_neighbors=k,
-        dense_operators=False, dropout=0.0,
+        dense_operators=False, dropout=dropout,
     )
     state = create_train_state(
         model, jax.random.PRNGKey(0), (pos[None],), sgd_momentum(0.05),
