@@ -7,6 +7,7 @@ coefficient operators instead of sparse matrices).
 """
 
 from .connection import angle_in_plane, build_transport, rotate_around
+from .fps import euclidean_fps, geodesic_fps
 from .frames import build_tangent_basis, estimate_basis
 from .grad_div import (
     GradDiv,
@@ -35,6 +36,8 @@ __all__ = [
     "curl",
     "eigh3x3",
     "estimate_basis",
+    "euclidean_fps",
+    "geodesic_fps",
     "fit_vector_mapping",
     "gaussian_weights",
     "hodge_laplacian",
