@@ -28,7 +28,7 @@ from typing import Dict, Tuple
 import numpy as np
 
 __all__ = ["load_torch_state_dict", "import_state_dict",
-           "import_torch_checkpoint"]
+           "import_torch_checkpoint", "unexpected_skips"]
 
 _HEAD_RENAMES = [
     # order matters: longest prefixes first
@@ -46,15 +46,42 @@ _BN_PARAM = {"weight": "scale", "bias": "bias"}
 _BN_STAT = {"running_mean": "mean", "running_var": "var"}
 
 
+# Wrapper keys under which released checkpoints commonly nest the
+# actual weights (torch.save of {"model_state_dict": ..., "optimizer":
+# ...} style training snapshots).
+_WRAPPER_KEYS = ("state_dict", "model_state_dict", "model", "net")
+
+
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
-    """Loads a torch checkpoint file into a dict of numpy arrays."""
+    """Loads a torch checkpoint file into a flat dict of numpy arrays.
+
+    Defensive against the checkpoint shapes found in the wild: a whole
+    pickled ``nn.Module``, a raw ``state_dict``, or a training snapshot
+    nesting the weights under ``state_dict``/``model_state_dict``/
+    ``model``/``net``; ``DataParallel``'s ``module.`` prefix is
+    stripped."""
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=False)
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
-    return {k: np.asarray(v.detach().cpu().numpy())
-            for k, v in sd.items() if hasattr(v, "detach")}
+    if isinstance(sd, dict):
+        for key in _WRAPPER_KEYS:
+            inner = sd.get(key)
+            if hasattr(inner, "state_dict"):
+                inner = inner.state_dict()
+            if isinstance(inner, dict) and inner and all(
+                    hasattr(v, "detach") for v in inner.values()):
+                sd = inner
+                break
+    out = {}
+    for k, v in sd.items():
+        if not hasattr(v, "detach"):
+            continue
+        if k.startswith("module."):
+            k = k[len("module."):]
+        out[k] = np.asarray(v.detach().cpu().numpy())
+    return out
 
 
 def _set(tree: dict, path: Tuple[str, ...], value: np.ndarray):
@@ -136,9 +163,31 @@ def _translate(key: str):
     return None, ()
 
 
-def import_state_dict(state_dict: Dict[str, np.ndarray]):
+# Keys whose skipping is expected and harmless: BatchNorm step
+# counters and VectorNonLin's bias, which is dead code when the layer
+# is batch-normalized (reference nn/nonlin.py zeroes and never uses it
+# with BN — every shipped model config).
+_TOLERATED_SKIPS = re.compile(
+    r"(\.num_batches_tracked$|\.v_mlp\.\d+\.1\.bias$)"
+)
+
+
+def unexpected_skips(skipped):
+    """Filters a skipped-key list down to the genuinely unmatched ones
+    (drops the tolerated BN counters / dead VectorNonLin biases)."""
+    return [s for s in skipped if not _TOLERATED_SKIPS.search(s)]
+
+
+def import_state_dict(state_dict: Dict[str, np.ndarray],
+                      strict: bool = False):
     """Translates a reference state_dict into (params, batch_stats)
-    pytrees (nested dicts of numpy arrays)."""
+    pytrees (nested dicts of numpy arrays).
+
+    With ``strict=True``, raises ``ValueError`` listing every key that
+    did not map to a framework parameter (except the tolerated
+    BatchNorm counters and dead VectorNonLin biases) — a silently
+    partial import would evaluate with randomly initialized weights.
+    Returns ``(params, batch_stats, skipped_keys)``."""
     params: dict = {}
     batch_stats: dict = {}
     skipped = []
@@ -151,18 +200,28 @@ def import_state_dict(state_dict: Dict[str, np.ndarray]):
             value = value.T  # torch [out, in] -> flax [in, out]
         _set(params if coll == "params" else batch_stats, path,
              np.asarray(value))
+    if strict:
+        unmatched = unexpected_skips(skipped)
+        if unmatched:
+            raise ValueError(
+                "torch import left "
+                f"{len(unmatched)}/{len(state_dict)} keys unmatched: "
+                + ", ".join(unmatched[:20])
+                + (" ..." if len(unmatched) > 20 else "")
+            )
     return params, batch_stats, skipped
 
 
-def import_torch_checkpoint(path: str):
+def import_torch_checkpoint(path: str, strict: bool = False):
     """Loads and translates a reference ``.pt``/``.pth`` state_dict,
     printing the skipped-keys diagnostic (a silently partial import
-    would serve or evaluate missing weights). The ONE torch-restore
-    policy shared by ``training.checkpoint.restore_any`` and
-    ``serving.load_variables``. Returns ``(params, batch_stats)``."""
+    would serve or evaluate missing weights) — or raising on it with
+    ``strict=True``. The ONE torch-restore policy shared by
+    ``training.checkpoint.restore_any`` and ``serving.load_variables``.
+    Returns ``(params, batch_stats)``."""
     params, batch_stats, skipped = import_state_dict(
-        load_torch_state_dict(path))
-    noteworthy = [s for s in skipped if "num_batches_tracked" not in s]
+        load_torch_state_dict(path), strict=strict)
+    noteworthy = unexpected_skips(skipped)
     if noteworthy:
         print(f"[torch import] skipped keys: {noteworthy}")
     return params, batch_stats
