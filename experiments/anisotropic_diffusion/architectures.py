@@ -22,6 +22,15 @@ import jax
 import jax.numpy as jnp
 
 from diffusion import laplacian, spatial_gradient
+from deltaconv_tpu.nn.init import torch_linear_kernel
+
+
+def _dense(width, name):
+    """Bias-free Dense with the reference's torch init: the 16-layer
+    unnormalized ResNets diverge under flax's 3x-variance
+    lecun_normal default (measured: DiffusionNet final L1 ~1e7)."""
+    return lnn.Dense(width, use_bias=False,
+                     kernel_init=torch_linear_kernel, name=name)
 
 __all__ = ["ConvNet", "DeltaNet", "DiffusionNet", "EdgeNet", "PointNet",
            "GCN", "ALL_NETS"]
@@ -67,7 +76,7 @@ class _ResStack(lnn.Module):
 
     def residual(self, x, width, i):
         if x.shape[-1] != width:
-            return lnn.Dense(width, use_bias=False, name=f"res{i}")(x)
+            return _dense(width, f"res{i}")(x)
         return x
 
 
@@ -101,7 +110,7 @@ class DeltaNet(_ResStack):
             r = self.residual(x, w, i)
             gx, gy = spatial_gradient(x)
             v = jnp.stack([gx, gy], axis=-2)  # [B,H,W,2,C]
-            v = lnn.Dense(w, use_bias=False, name=f"vconv{i}")(v)
+            v = _dense(w, f"vconv{i}")(v)
             # Norm nonlinearity with small learned bias.
             bias = self.param(
                 f"vbias{i}",
@@ -119,7 +128,7 @@ class DeltaNet(_ResStack):
             v = v * (scaled / jnp.clip(mag, 1e-5))
             div = spatial_gradient(v[..., 0, :])[0] + \
                 spatial_gradient(v[..., 1, :])[1]
-            h = lnn.Dense(w, use_bias=False, name=f"conv{i}")(
+            h = _dense(w, f"conv{i}")(
                 jnp.concatenate([x, div], axis=-1)
             )
             x = _lrelu(r + h)
@@ -140,11 +149,10 @@ class DiffusionNet(_ResStack):
             r = self.residual(x, w, i)
             gx, gy = spatial_gradient(x)
             v = jnp.stack([gx, gy], axis=-2)
-            v_mlp = lnn.Dense(x.shape[-1], use_bias=False,
-                              name=f"vconv{i}")(v)
+            v_mlp = _dense(x.shape[-1], f"vconv{i}")(v)
             scalar_v = jnp.tanh(jnp.sum(v * v_mlp, axis=-2))
             x_lapl = laplacian(x)
-            h = lnn.Dense(w, use_bias=False, name=f"conv{i}")(
+            h = _dense(w, f"conv{i}")(
                 jnp.concatenate([x, -x_lapl, scalar_v], axis=-1)
             )
             x = _lrelu(r + h)
@@ -169,7 +177,7 @@ class EdgeNet(_ResStack):
                 [jnp.broadcast_to(center, nbr.shape), nbr - center], axis=-1
             )
             h = _lrelu(
-                lnn.Dense(w, use_bias=False, name=f"conv{i}")(edge)
+                _dense(w, f"conv{i}")(edge)
             ).max(axis=-2)
             x = _lrelu(r + h)
         return x
@@ -189,7 +197,7 @@ class PointNet(_ResStack):
             r = self.residual(x, w, i)
             nbr = _unfold3x3(x)
             h = _lrelu(
-                lnn.Dense(w, use_bias=False, name=f"conv{i}")(nbr)
+                _dense(w, f"conv{i}")(nbr)
             ).max(axis=-2)
             x = _lrelu(r + h)
         return x
@@ -208,7 +216,7 @@ class GCN(_ResStack):
         for i, w in enumerate(self.widths()):
             r = self.residual(x, w, i)
             nbr = _unfold3x3(x)
-            h = lnn.Dense(w, use_bias=False, name=f"conv{i}")(nbr).mean(
+            h = _dense(w, f"conv{i}")(nbr).mean(
                 axis=-2
             )
             x = _lrelu(r + h)

@@ -26,9 +26,13 @@ _SOBEL_X = np.array(
     [[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], np.float32
 ) / 8.0
 _SOBEL_Y = _SOBEL_X.T
+# kornia.filters.laplacian defaults to normalized=True: the kernel is
+# divided by its L1 norm (16 for the 3x3 case). Unnormalized, the
+# DiffusionNet study architecture's explicit Euler step is 16x too
+# strong and diverges.
 _LAPLACIAN = np.array(
     [[1, 1, 1], [1, -8, 1], [1, 1, 1]], np.float32
-)
+) / 16.0
 
 
 def _conv2d_same(x, kernel):

@@ -14,6 +14,7 @@ Usage::
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
 
@@ -82,6 +83,8 @@ def main():
                    help="Test image size")
     p.add_argument("--save-images", type=str, default="",
                    help="Directory for input/target/prediction PNGs")
+    p.add_argument("--out-jsonl", type=str, default="",
+                   help="Append one JSON line per architecture")
     args = p.parse_args()
 
     image = jnp.asarray(make_test_image(args.size))
@@ -100,6 +103,14 @@ def main():
                              args.num_layers, args.width, args.lr)
         results.append((net_cls.net_name(), l1))
         print(f"{net_cls.net_name():<14s} final L1 = {l1:.5f}")
+        if args.out_jsonl:
+            with open(args.out_jsonl, "a") as f:
+                f.write(json.dumps({
+                    "net": net_cls.net_name(), "final_l1": round(l1, 6),
+                    "steps": args.steps, "iterations": args.iterations,
+                    "num_layers": args.num_layers, "width": args.width,
+                    "lr": args.lr, "size": args.size,
+                }) + "\n")
         if args.save_images:
             fn = net_cls.net_name().replace("+", "p").lower() + ".png"
             save_png(os.path.join(args.save_images, fn), pred)

@@ -41,8 +41,9 @@ def test_laplacian_of_quadratic():
     yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
     img = jnp.asarray((xx**2 + yy**2)[None, :, :, None])
     lap = np.asarray(laplacian(img))[0, 4:-4, 4:-4, 0]
-    # 3x3 [1..1;-8..] kernel of x^2+y^2 = 12 (interior).
-    np.testing.assert_allclose(lap, 12.0, atol=1e-3)
+    # 3x3 [1..1;-8..] kernel of x^2+y^2 = 12; kornia-style L1
+    # normalization divides by 16 (see diffusion._LAPLACIAN).
+    np.testing.assert_allclose(lap, 12.0 / 16.0, atol=1e-4)
 
 
 def test_diffusion_preserves_flat_regions():
