@@ -297,6 +297,7 @@ def main():
 
     train_step_ms = None
     int8_clouds_per_sec = None
+    seg_clouds_per_sec = None
     if os.environ.get("DELTACONV_BENCH_SKIP_TRAIN") != "1":
         train_step_ms = _bounded_submetric("--train-step", "train_step_ms")
     if os.environ.get("DELTACONV_BENCH_SKIP_INT8") != "1":
@@ -304,6 +305,11 @@ def main():
         # (accuracy-changing; PERF.md) — reported alongside, never as
         # the headline value.
         int8_clouds_per_sec = _bounded_submetric("--mode=int8", "value")
+    if os.environ.get("DELTACONV_BENCH_SKIP_SEG") != "1":
+        # The segmentation workload (reference train_shapenet.py:79-89
+        # config) — the other half of the reference's capability
+        # surface, benched at its own shapes.
+        seg_clouds_per_sec = _bounded_submetric("--mode=seg", "value")
 
     print(json.dumps({
         "metric": "clouds/sec (operator build + forward, 1024 pts, k=20, "
@@ -317,6 +323,7 @@ def main():
         "train_step_ms": (round(train_step_ms, 2)
                           if train_step_ms is not None else None),
         "int8_serving_clouds_per_sec": int8_clouds_per_sec,
+        "seg_clouds_per_sec": seg_clouds_per_sec,
         # Same-host measured anchor (BASELINE.md): the EXECUTED
         # reference implementation at this exact config on this host's
         # CPU (tools/bench_reference.py).

@@ -27,7 +27,14 @@ from .init import torch_linear_kernel
 from .mlp import MLP, VectorMLP
 from .nonlin import leaky_relu02
 
-__all__ = ["DeltaConv", "EdgeMaxMLP", "gather_neighbors"]
+__all__ = ["DeltaConv", "EdgeMaxMLP", "DeepMaxMLP", "gather_neighbors"]
+
+# Test hooks: run DeepMaxMLP's fused eval kernel in Pallas interpret
+# mode on CPU backends (the CPU suite pins fused == reference without
+# a chip), or force the reference path on TPU (A/B tests). Never set
+# in production.
+_FORCE_FUSED_INTERPRET = False
+_FORCE_FUSED_OFF = False
 
 
 def gather_neighbors(x, nbr_idx):
@@ -272,6 +279,129 @@ class PointMaxMLP(lnn.Module):
         return out
 
 
+class DeepMaxMLP(lnn.Module):
+    """Depth>=2 scalar max branch, centralized or plain.
+
+    Training and CPU/f32 eval run the reference pipeline — the
+    edge-tensor MLP for the centralized variant (reference
+    deltaconv.py:50-54), per-point MLP + fused neighbor max otherwise.
+    bf16 TPU eval runs the fused gather+MLP+max kernel
+    (ops/gather_mlp_max.py): the one-hot gather contraction at C_in
+    lanes, the whole eval-mode MLP applied on the gathered block in
+    VMEM, the LAST layer's BatchNorm+LeakyReLU commuted out of the max
+    by sign folding, and the kNN self slot contributed by a per-point
+    matmul outside the kernel. The segmentation config (mlp_depth=2,
+    train_shapenet.py:79-89) otherwise materializes a ``[B, N, K, C]``
+    edge tensor (centralized) or gathers at C_out lanes.
+
+    Parameter tree (lin{i}/kernel, bn{i}/BatchNorm_0/{scale,bias} +
+    batch_stats {mean,var}) is IDENTICAL to ``MLP(channels)``, so
+    checkpoints and the torch importer are path-compatible.
+    """
+
+    channels: Sequence[int]
+    centralized: bool = False
+    dtype: Optional[str] = None
+    axis_name: Optional[str] = None
+
+    @lnn.compact
+    def __call__(self, x, gd, train: bool = False, stats_mask=None):
+        from .nonlin import BatchNorm
+
+        dt = jnp.dtype(self.dtype) if self.dtype else jnp.float32
+        if self.dtype:
+            # The fused kernel gathers in bf16; round the inputs ONCE
+            # here so both paths see identical operands (the production
+            # backbone already feeds bf16 — deltanet_base.py casts
+            # before the conv stack).
+            x = x.astype(dt)
+
+        def pad128(c):
+            return -(-c // 128) * 128
+
+        # The fused kernel pays the one-hot contraction at C_in lanes;
+        # the plain path gathers the MLP OUTPUT at C_out lanes — fusing
+        # only wins when the input is lane-narrower (always true for
+        # the centralized variant, whose fallback is the edge tensor).
+        interpret = _FORCE_FUSED_INTERPRET
+        fused = (not _FORCE_FUSED_OFF
+                 and not train and dt == jnp.bfloat16
+                 and (jax.default_backend() == "tpu" or interpret)
+                 and not getattr(gd, "_int8", False)
+                 and (self.centralized
+                      or pad128(x.shape[-1]) < pad128(self.channels[-1])))
+
+        if fused:
+            from ..ops.gather_mlp_max import gather_mlp_max
+
+            ws, affines = [], []
+            c_prev = x.shape[-1]
+            inv = mean_ = bias = None
+            for i, ch in enumerate(self.channels):
+                ws.append(_Kernel(ch, name=f"lin{i}")(
+                    jnp.zeros((1, c_prev))))
+                inv, mean_, bias = _BNStateHolder(name=f"bn{i}")(
+                    ch, None, None, False)
+                if i < len(self.channels) - 1:
+                    affines.append((inv, bias - mean_ * inv))
+                c_prev = ch
+            sign = jnp.where(inv >= 0, 1.0, -1.0)
+            ws[-1] = ws[-1] * sign[None, :]
+
+            def chain(h):
+                """Eval MLP with the kernel's exact rounding."""
+                h = h.astype(jnp.bfloat16)
+                for w, (a, b) in zip(ws[:-1], affines):
+                    y = jnp.dot(h, w.astype(jnp.bfloat16),
+                                preferred_element_type=jnp.float32)
+                    y = y.astype(jnp.bfloat16).astype(jnp.float32)
+                    h = leaky_relu02(y * a + b).astype(jnp.bfloat16)
+                z = jnp.dot(h, ws[-1].astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+                return z.astype(jnp.bfloat16).astype(jnp.float32)
+
+            unbatched = gd.nbr_idx.ndim == 2
+            xb = x[None] if unbatched else x
+            idx = gd.nbr_idx[None] if unbatched else gd.nbr_idx
+            mask = gd.nbr_mask[None] if unbatched else gd.nbr_mask
+            m = gather_mlp_max(xb.astype(dt), ws, affines, idx, mask,
+                               centralized=self.centralized,
+                               skip_slot0=True, interpret=interpret)
+            # Self slot (kNN slot 0): centralized edges are the zero
+            # vector — one constant chain; otherwise the per-point MLP.
+            if self.centralized:
+                z0 = chain(jnp.zeros((1, x.shape[-1]), dt))  # [1, C]
+                z0 = jnp.broadcast_to(z0, m.shape)
+            else:
+                z0 = chain(xb.astype(dt))
+            m = jnp.maximum(m, jnp.where(mask[..., 0:1], z0, -3.0e38))
+            if unbatched:
+                m = m[0]
+            z_star = sign * m
+            out = leaky_relu02((z_star - mean_) * inv + bias)
+            any_valid = jnp.any(gd.nbr_mask, axis=-1)[..., None]
+            return jnp.where(any_valid, out, 0.0).astype(dt)
+
+        ddt = jnp.dtype(self.dtype) if self.dtype else None
+        if self.centralized:
+            x_j = gd.gather(x)  # [..., N, K, C]
+            h = x_j - x[..., :, None, :]
+        else:
+            h = x
+        for i, ch in enumerate(self.channels):
+            h = lnn.Dense(ch, use_bias=False, dtype=ddt,
+                          kernel_init=torch_linear_kernel,
+                          name=f"lin{i}")(h)
+            h = BatchNorm(name=f"bn{i}", axis_name=self.axis_name)(
+                h, train=train, mask=stats_mask)
+            h = leaky_relu02(h)
+            if ddt is not None:
+                h = h.astype(ddt)
+        if self.centralized:
+            return _aggregate(h, gd.nbr_mask, "max")
+        return gd.nbr_max(h, self_slot0=True)
+
+
 class DeltaConv(lnn.Module):
     """One DeltaConv block.
 
@@ -320,6 +450,12 @@ class DeltaConv(lnn.Module):
                                    axis_name=self.axis_name,
                                    name="s_mlp_max")(
                     x, gd, train=train, stats_mask=edge_mask)
+            elif self.aggr == "max":
+                x_max = DeepMaxMLP(channels, centralized=True,
+                                   dtype=self.dtype,
+                                   axis_name=self.axis_name,
+                                   name="s_mlp_max")(
+                    x, gd, train=train, stats_mask=edge_mask)
             else:
                 x_j = gd.gather(x)  # [..., N, K, C]
                 edge = x_j - x[..., :, None, :]
@@ -332,14 +468,17 @@ class DeltaConv(lnn.Module):
                                 axis_name=self.axis_name,
                                 name="s_mlp_max")(
                 x, gd, train=train, stats_mask=point_mask)
+        elif self.aggr == "max":
+            x_max = DeepMaxMLP(channels, centralized=False,
+                               dtype=self.dtype,
+                               axis_name=self.axis_name,
+                               name="s_mlp_max")(
+                x, gd, train=train, stats_mask=point_mask)
         else:
             h = MLP(channels, dtype=self.dtype, axis_name=self.axis_name,
                     name="s_mlp_max")(x, train=train, mask=point_mask)
-            if self.aggr == "max":
-                x_max = gd.nbr_max(h, self_slot0=True)
-            else:
-                h = gd.gather(h)
-                x_max = _aggregate(h, gd.nbr_mask, self.aggr)
+            h = gd.gather(h)
+            x_max = _aggregate(h, gd.nbr_mask, self.aggr)
 
         # Operator branch: scalar and vector calculus features.
         # All operator applications are fused into wide matmuls:

@@ -53,26 +53,79 @@ __all__ = [
 _NEG = -3.0e38
 
 
+# Above this table length the local kNN switches to the tiled sweep
+# (O(n_local * _KNN_TILE) memory instead of the full [n_local, N_total]
+# distance block — point sharding exists for clouds where the latter
+# cannot fit). Tests shrink it to exercise the tiled path at small N.
+_KNN_TILE = 4096
+
+
+def _knn_scores(pos_q, sq_q, pos_t, sq_t, rows, cols,
+                point_mask_t=None):
+    """Similarity block (-d^2, self pinned to +2e30, masked cols to
+    -2e30) between query rows and a table block."""
+    s = 2.0 * jnp.dot(
+        pos_q, pos_t.T, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ) - sq_q[:, None] - sq_t[None, :]
+    s = jnp.where(rows[:, None] == cols[None, :], 2e30, s)
+    if point_mask_t is not None:
+        s = jnp.where(point_mask_t[None, :], s, -2e30)
+    return s
+
+
 def _local_knn(pos_local, pos_full, k, offset, point_mask_full=None):
     """Top-k neighbors of local rows against the full table.
 
     Returns global indices with the self-loop pinned to slot 0; masked
     table rows are never selected (as long as k <= #valid points).
+    Tables longer than ``_KNN_TILE`` run a tiled column sweep with a
+    running top-k merge (exact, ties broken toward lower indices like
+    ``lax.top_k``), so memory stays O(n_local * (tile + k)).
     """
     n_local = pos_local.shape[0]
+    n_full = pos_full.shape[0]
     sq_l = jnp.sum(pos_local * pos_local, axis=-1)
-    sq_f = jnp.sum(pos_full * pos_full, axis=-1)
-    d2 = sq_l[:, None] + sq_f[None, :] - 2.0 * jnp.dot(
-        pos_local, pos_full.T, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
     rows = offset + jnp.arange(n_local)
-    cols = jnp.arange(pos_full.shape[0])
-    d2 = jnp.where(rows[:, None] == cols[None, :], -2e30, d2)
+
+    if n_full <= max(_KNN_TILE, 2 * k):
+        sq_f = jnp.sum(pos_full * pos_full, axis=-1)
+        s = _knn_scores(pos_local, sq_l, pos_full, sq_f, rows,
+                        jnp.arange(n_full), point_mask_full)
+        _, idx = jax.lax.top_k(s, k)
+        return idx.astype(jnp.int32)
+
+    tile = _KNN_TILE
+    pad = (-n_full) % tile
+    pos_p = jnp.pad(pos_full, ((0, pad), (0, 0)))
+    pm_p = jnp.arange(n_full + pad) < n_full
     if point_mask_full is not None:
-        d2 = jnp.where(point_mask_full[None, :], d2, 2e30)
-    _, idx = jax.lax.top_k(-d2, k)
-    return idx.astype(jnp.int32)
+        pm_p = pm_p & jnp.pad(point_mask_full, (0, pad))
+    sq_p = jnp.sum(pos_p * pos_p, axis=-1)
+
+    def body(carry, c_start):
+        best_s, best_i = carry
+        blk = jax.lax.dynamic_slice(pos_p, (c_start, 0), (tile, 3))
+        sq_b = jax.lax.dynamic_slice(sq_p, (c_start,), (tile,))
+        pm_b = jax.lax.dynamic_slice(pm_p, (c_start,), (tile,))
+        cols = c_start + jnp.arange(tile)
+        s = _knn_scores(pos_local, sq_l, blk, sq_b, rows, cols, pm_b)
+        cand_s, cand_j = jax.lax.top_k(s, k)
+        cand_i = c_start + cand_j
+        # Merge with the running top-k; candidates keep ascending-
+        # index order inside equal scores (stable top_k + blocks
+        # arriving in index order), matching the dense path's ties.
+        all_s = jnp.concatenate([best_s, cand_s], axis=-1)
+        all_i = jnp.concatenate([best_i, cand_i], axis=-1)
+        best_s, pos = jax.lax.top_k(all_s, k)
+        best_i = jnp.take_along_axis(all_i, pos, axis=-1)
+        return (best_s, best_i), None
+
+    init = (jnp.full((n_local, k), -3e38, jnp.float32),
+            jnp.zeros((n_local, k), jnp.int32))
+    (best_s, best_i), _ = jax.lax.scan(
+        body, init, jnp.arange(0, n_full + pad, tile))
+    return best_i.astype(jnp.int32)
 
 
 class ShardedGradDiv:

@@ -109,3 +109,48 @@ def test_int8_operator_mode_logit_parity(rng):
     scale = np.abs(l32).max()
     assert np.abs(l8 - l32).max() < 0.01 * scale
     assert (np.argmax(l8, -1) == np.argmax(l32, -1)).all()
+
+
+def test_seg_config_deep_fused_path_matches_reference():
+    """mlp_depth=2 eval (the DeepMaxMLP fused gather+MLP+max kernel,
+    engaged for the centralized first conv AND the C_in<C_out last
+    conv) vs the reference path (_FORCE_FUSED_OFF) on the same
+    variables — the segmentation config's scalar stream."""
+    import jax
+    import jax.numpy as jnp
+
+    import deltaconv_tpu.nn.deltaconv as dc
+    from deltaconv_tpu.data import synthetic_classification_batch
+    from deltaconv_tpu.models import DeltaNetSegmentation
+
+    batch = synthetic_classification_batch(0, 2, 256, 8)
+    pos, nrm = jnp.asarray(batch["pos"]), jnp.asarray(batch["normal"])
+    cat = jnp.eye(16)[jnp.asarray(batch["label"]) % 16]
+    model = DeltaNetSegmentation(
+        num_classes=8, conv_channels=(64, 128, 256), mlp_depth=2,
+        categorical_vector=True, num_neighbors=12,
+        dense_operators=True, operator_dtype="bfloat16",
+        compute_dtype="bfloat16")
+    variables = jax.jit(
+        lambda p, n, c: model.init(jax.random.PRNGKey(0), p, normal=n,
+                                   category=c, train=False)
+    )(pos, nrm, cat)
+
+    fused = np.asarray(jax.jit(
+        lambda p, n, c: model.apply(variables, p, normal=n, category=c,
+                                    train=False))(pos, nrm, cat),
+        np.float32)
+    dc._FORCE_FUSED_OFF = True
+    try:
+        ref = np.asarray(jax.jit(
+            lambda p, n, c: model.apply(variables, p, normal=n,
+                                        category=c, train=False))(
+            pos, nrm, cat), np.float32)
+    finally:
+        dc._FORCE_FUSED_OFF = False
+
+    scale = np.abs(ref).max()
+    # Exact up to bf16 reassociation inside the per-edge MLP chain.
+    assert np.abs(fused - ref).max() < 0.02 * scale
+    agree = (np.argmax(fused, -1) == np.argmax(ref, -1)).mean()
+    assert agree > 0.99

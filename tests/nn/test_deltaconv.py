@@ -161,3 +161,46 @@ def test_deltaconv_coordinate_independence(rng):
     np.testing.assert_allclose(
         np.asarray(flat), np.asarray(flat_rot), atol=1e-5
     )
+
+
+def test_deep_max_mlp_fused_matches_reference(rng, monkeypatch):
+    """The depth-2 fused eval path (gather_mlp_max kernel, interpret
+    mode) matches the reference pipeline — centralized (edge-tensor
+    MLP) and plain (per-point MLP + neighbor max) — on the same
+    parameter tree."""
+    from deltaconv_tpu.models.deltanet_base import build_operators
+    from deltaconv_tpu.nn.deltaconv import DeepMaxMLP
+
+    b, n, k, c = 2, 96, 8, 24
+    pos = jnp.asarray(rng.standard_normal((b, n, 3)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((b, n, c)).astype(np.float32))
+    gd = build_operators(pos, k)
+
+    for centralized in (False, True):
+        model = DeepMaxMLP((32, 32), centralized=centralized,
+                           dtype="bfloat16")
+        variables = model.init(jax.random.PRNGKey(0), x, gd, train=False)
+        # Make BatchNorm stats non-trivial (incl. negative-slope
+        # channels exercising the sign folding).
+        stats = jax.tree.map(
+            lambda a: jnp.asarray(
+                rng.standard_normal(a.shape).astype(np.float32)),
+            variables["batch_stats"])
+        stats = jax.tree.map(jnp.abs, stats)  # var > 0
+        params = jax.tree.map(
+            lambda a: jnp.asarray(
+                rng.standard_normal(a.shape).astype(np.float32)),
+            variables["params"])
+        variables = {"params": params, "batch_stats": stats}
+
+        want = model.apply(variables, x, gd, train=False)
+
+        import deltaconv_tpu.nn.deltaconv as dc
+
+        monkeypatch.setattr(dc, "_FORCE_FUSED_INTERPRET", True)
+        got = model.apply(variables, x, gd, train=False)
+        monkeypatch.undo()
+
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            rtol=5e-2, atol=5e-2)

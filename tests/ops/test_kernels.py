@@ -872,3 +872,54 @@ def test_gather_matmul_max_int8_interpret(rng):
                 want[bb, t] = np.max(vals, axis=0)
     np.testing.assert_allclose(np.asarray(got, np.float32), want,
                                rtol=2e-2, atol=1e-2)
+
+
+def test_gather_mlp_max_interpret(rng):
+    """Fused gather + depth-2 eval MLP + max (the depth>=2 scalar-
+    stream fast path) == its XLA reference, centralized and not,
+    with and without the self-slot shortcut."""
+    from deltaconv_tpu.ops.gather_mlp_max import _reference, gather_mlp_max
+
+    b, n, k, ci, cm, co = 2, 128, 7, 16, 24, 32
+    x = jnp.asarray(rng.standard_normal((b, n, ci)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    ws = [jnp.asarray(rng.standard_normal((ci, cm)).astype(np.float32)),
+          jnp.asarray(rng.standard_normal((cm, co)).astype(np.float32))]
+    affines = [(jnp.asarray(rng.standard_normal(cm).astype(np.float32)),
+                jnp.asarray(rng.standard_normal(cm).astype(np.float32)))]
+    idx = jnp.asarray(rng.integers(0, n, (b, n, k)).astype(np.int32))
+    idx = idx.at[:, :, 0].set(jnp.arange(n)[None])
+    mask = jnp.asarray(rng.random((b, n, k)) > 0.2)
+    mask = mask.at[:, :, 0].set(True)
+
+    for centralized in (False, True):
+        for skip0 in (False, True):
+            got = jax.jit(lambda x, i, m: gather_mlp_max(
+                x, ws, affines, i, m, centralized=centralized,
+                skip_slot0=skip0, interpret=True))(x, idx, mask)
+            want = _reference(x, ws, affines, idx, mask, centralized,
+                              1 if skip0 else 0)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2)
+
+
+def test_gather_mlp_max_three_layers_interpret(rng):
+    """The fused kernel generalizes past depth 2."""
+    from deltaconv_tpu.ops.gather_mlp_max import _reference, gather_mlp_max
+
+    b, n, k, c = 1, 128, 5, 16
+    x = jnp.asarray(rng.standard_normal((b, n, c)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    ws = [jnp.asarray(rng.standard_normal((c, c)).astype(np.float32))
+          for _ in range(3)]
+    affines = [(jnp.asarray(rng.standard_normal(c).astype(np.float32)),
+                jnp.asarray(rng.standard_normal(c).astype(np.float32)))
+               for _ in range(2)]
+    idx = jnp.asarray(rng.integers(0, n, (b, n, k)).astype(np.int32))
+    mask = jnp.asarray(rng.random((b, n, k)) > 0.2)
+
+    got = jax.jit(lambda x, i, m: gather_mlp_max(
+        x, ws, affines, i, m, interpret=True))(x, idx, mask)
+    want = _reference(x, ws, affines, idx, mask, False, 0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)

@@ -321,3 +321,35 @@ def test_sharded_nbr_protocol_matmul_minmax_matches(rng):
                                atol=2e-5)
     np.testing.assert_allclose(np.asarray(got_mn), np.asarray(want_mn),
                                atol=2e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_point_sharded_tiled_knn_matches_dense(rng, monkeypatch):
+    """The tiled column-sweep kNN (engaged above _KNN_TILE; VERDICT
+    round-2 item 4 — memory O(n_local * tile) instead of the full
+    [n_local, N_total] block) must select the exact same neighbors and
+    reproduce the dense-path point-sharded forward."""
+    import deltaconv_tpu.parallel.point_sharding as ps
+
+    n, k = 512, 12
+    pos = jnp.asarray(rng.random((n, 3)).astype(np.float32))
+    nrm = jnp.asarray(rng.random((n, 3)).astype(np.float32))
+    nrm = nrm / jnp.linalg.norm(nrm, axis=-1, keepdims=True)
+    x = jnp.asarray(rng.random((n, 4)).astype(np.float32))
+
+    # Direct _local_knn equality: dense vs tiled on the same queries.
+    dense_idx = np.asarray(ps._local_knn(pos[:64], pos, k, 0))
+    monkeypatch.setattr(ps, "_KNN_TILE", 96)  # force >1 non-even tiles
+    tiled_idx = np.asarray(ps._local_knn(pos[:64], pos, k, 0))
+    np.testing.assert_array_equal(tiled_idx, dense_idx)
+
+    # Full point-sharded forward through the tiled path.
+    nbr, mask = knn(pos, k)
+    xb, yb = build_tangent_basis(nrm)
+    gd = build_grad_div(pos, nrm, xb, yb, nbr, mask)
+    want = np.asarray(laplacian(x, gd))
+    mesh = Mesh(np.asarray(jax.devices()), ("points",))
+    got = np.asarray(
+        point_sharded_laplacian(mesh, pos, x, k, normal=nrm)
+    )
+    np.testing.assert_allclose(got, want, atol=5e-4)
