@@ -49,6 +49,7 @@ def test_point_sharded_estimated_normals(rng):
     assert int(jnp.max(gd.nbr_idx)) >= n // 8
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_point_sharded_classification_matches_single_device(rng):
     """The FULL conv stack + heads point-sharded over 8 devices must
@@ -110,6 +111,7 @@ def test_point_sharded_padded_cloud_matches(rng):
     np.testing.assert_allclose(got, want, atol=2e-4)
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_point_sharded_segmentation_matches(rng):
     from deltaconv_tpu.models import DeltaNetSegmentation
@@ -142,6 +144,7 @@ def test_point_sharded_segmentation_matches(rng):
     np.testing.assert_allclose(got, want, atol=2e-4)
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 @pytest.mark.parametrize("dropout", [0.0, 0.5])
 def test_point_sharded_train_step_matches_single_device(rng, dropout):
@@ -208,6 +211,7 @@ def test_point_sharded_train_step_matches_single_device(rng, dropout):
                                    atol=2e-4, err_msg=str(path))
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_point_sharded_seg_train_step_matches_single_device(rng):
     """ONE segmentation training step on a point-sharded cloud must
