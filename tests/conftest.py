@@ -23,6 +23,15 @@ if not _USE_TPU:
         os.environ["XLA_FLAGS"] = (
             xla_flags + " --xla_force_host_platform_device_count=8"
         ).strip()
+else:
+    # TPU mode: ALSO register the host CPU backend (the chip platform
+    # stays first, hence default). Interpret-mode Pallas surrogates are
+    # pinned to the CPU device even in TPU mode — the TPU XLA pipeline
+    # elides their bf16 round-trips (f32 -> bf16 -> f32), flipping
+    # near-tie max winners vs the rounding reference.
+    plats = os.environ.get("JAX_PLATFORMS", "")
+    if plats and "cpu" not in plats.split(","):
+        os.environ["JAX_PLATFORMS"] = plats + ",cpu"
 
 import jax  # noqa: E402
 import numpy as np  # noqa: E402

@@ -877,9 +877,17 @@ def test_gather_matmul_max_int8_interpret(rng):
 def test_gather_mlp_max_interpret(rng):
     """Fused gather + depth-2 eval MLP + max (the depth>=2 scalar-
     stream fast path) == its XLA reference, centralized and not,
-    with and without the self-slot shortcut."""
+    with and without the self-slot shortcut.
+
+    Pinned to the host CPU device even in TPU mode: the interpret
+    surrogate's bf16 round-trips (``f32 -> bf16 -> f32``) are elided by
+    the TPU XLA pipeline (the hazard documented at
+    ops/gather_max.py::_bwd_mm_kernel), flipping near-tie max winners
+    vs the rounding reference; the REAL kernel is covered on TPU by
+    test_tpu_paths.py::test_seg_config_deep_fused_path_matches_reference."""
     from deltaconv_tpu.ops.gather_mlp_max import _reference, gather_mlp_max
 
+    cpu = jax.devices("cpu")[0]
     b, n, k, ci, cm, co = 2, 128, 7, 16, 24, 32
     x = jnp.asarray(rng.standard_normal((b, n, ci)).astype(np.float32)
                     ).astype(jnp.bfloat16)
@@ -892,21 +900,25 @@ def test_gather_mlp_max_interpret(rng):
     mask = jnp.asarray(rng.random((b, n, k)) > 0.2)
     mask = mask.at[:, :, 0].set(True)
 
-    for centralized in (False, True):
-        for skip0 in (False, True):
-            got = jax.jit(lambda x, i, m: gather_mlp_max(
-                x, ws, affines, i, m, centralized=centralized,
-                skip_slot0=skip0, interpret=True))(x, idx, mask)
-            want = _reference(x, ws, affines, idx, mask, centralized,
-                              1 if skip0 else 0)
-            np.testing.assert_allclose(
-                np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2)
+    with jax.default_device(cpu):
+        for centralized in (False, True):
+            for skip0 in (False, True):
+                got = jax.jit(lambda x, i, m: gather_mlp_max(
+                    x, ws, affines, i, m, centralized=centralized,
+                    skip_slot0=skip0, interpret=True))(x, idx, mask)
+                want = _reference(x, ws, affines, idx, mask, centralized,
+                                  1 if skip0 else 0)
+                np.testing.assert_allclose(
+                    np.asarray(got), np.asarray(want), rtol=2e-2,
+                    atol=2e-2)
 
 
 def test_gather_mlp_max_three_layers_interpret(rng):
-    """The fused kernel generalizes past depth 2."""
+    """The fused kernel generalizes past depth 2. CPU-pinned like
+    test_gather_mlp_max_interpret (bf16 round-trip elision on TPU)."""
     from deltaconv_tpu.ops.gather_mlp_max import _reference, gather_mlp_max
 
+    cpu = jax.devices("cpu")[0]
     b, n, k, c = 1, 128, 5, 16
     x = jnp.asarray(rng.standard_normal((b, n, c)).astype(np.float32)
                     ).astype(jnp.bfloat16)
@@ -918,8 +930,9 @@ def test_gather_mlp_max_three_layers_interpret(rng):
     idx = jnp.asarray(rng.integers(0, n, (b, n, k)).astype(np.int32))
     mask = jnp.asarray(rng.random((b, n, k)) > 0.2)
 
-    got = jax.jit(lambda x, i, m: gather_mlp_max(
-        x, ws, affines, i, m, interpret=True))(x, idx, mask)
-    want = _reference(x, ws, affines, idx, mask, False, 0)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=2e-2, atol=2e-2)
+    with jax.default_device(cpu):
+        got = jax.jit(lambda x, i, m: gather_mlp_max(
+            x, ws, affines, i, m, interpret=True))(x, idx, mask)
+        want = _reference(x, ws, affines, idx, mask, False, 0)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-2, atol=2e-2)
