@@ -76,6 +76,17 @@ class NeighborAggregations:
         return gather_matmul_max(x, w, self.nbr_idx, self.nbr_mask,
                                  self_slot0=self_slot0)
 
+    def nbr_matmul_max_train(self, x, w):
+        """Differentiable ``max_k (x @ w)[nbr]`` (single-winner VJP,
+        gather contraction at C_in lanes — the training twin of
+        ``nbr_matmul_max``). All-masked rows return -3e38."""
+        from ..ops.gather_max import gather_matmul_max_train
+
+        if self._unbatched(x):
+            return gather_matmul_max_train(x[None], w, self.nbr_idx[None],
+                                           self.nbr_mask[None])[0]
+        return gather_matmul_max_train(x, w, self.nbr_idx, self.nbr_mask)
+
     def nbr_sum(self, h, mask=None):
         """Masked neighbor sum (adjacency contraction)."""
         from ..ops.gather_sum import gather_sum

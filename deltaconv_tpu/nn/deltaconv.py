@@ -35,6 +35,9 @@ __all__ = ["DeltaConv", "EdgeMaxMLP", "DeepMaxMLP", "gather_neighbors"]
 # in production.
 _FORCE_FUSED_INTERPRET = False
 _FORCE_FUSED_OFF = False
+# Take PointMaxMLP's commuted TRAIN branch on any backend (the op
+# falls back to its XLA reference path off-TPU) — CPU parity tests.
+_FORCE_FUSED_TRAIN = False
 
 
 def gather_neighbors(x, nbr_idx):
@@ -258,15 +261,54 @@ class PointMaxMLP(lnn.Module):
         # The fused path only wins when the gathered width is LANE-
         # NARROWER than the output (the one-hot contraction pays per
         # 128-lane block); otherwise it adds an edge matmul for free.
+        narrower = pad128(x.shape[-1]) < pad128(self.out_channels)
         fused = (not train and dt == jnp.bfloat16
-                 and jax.default_backend() == "tpu"
-                 and pad128(x.shape[-1]) < pad128(self.out_channels))
+                 and jax.default_backend() == "tpu" and narrower)
+        fused_train = (train and not _FORCE_FUSED_OFF
+                       and hasattr(gd, "nbr_matmul_max_train")
+                       and not getattr(gd, "_int8", False)
+                       and (_FORCE_FUSED_TRAIN
+                            or (dt == jnp.bfloat16 and narrower
+                                and jax.default_backend() == "tpu")))
         if fused:
             inv, mean_, bias = _BNStateHolder(name="bn0")(
                 self.out_channels, None, None, False)
             sign = jnp.where(inv >= 0, 1.0, -1.0)
             wp = (w * sign[None, :]).astype(dt)
             mxp = gd.nbr_matmul_max(x.astype(dt), wp, self_slot0=True)
+            y_star = sign * mxp.astype(jnp.float32)
+            out = leaky_relu02((y_star - mean_) * inv + bias)
+            any_valid = jnp.any(gd.nbr_mask, axis=-1)[..., None]
+            out = jnp.where(any_valid, out, 0.0).astype(dt)
+        elif fused_train:
+            # Commuted training branch: the per-point Dense feeds ONLY
+            # the BatchNorm batch moments (cheap [N, C_in]@[C_in, C_out]
+            # matmul); the neighbor max runs on the sign-folded
+            # gather-then-matmul kernel at C_in lanes with the
+            # single-winner VJP. Exact commute: BatchNorm + LeakyReLU
+            # is per-channel monotone in y, so
+            # max_k h_j == monotone(sign * max_k (sign * y_j)); the
+            # kernel rounds its product to bf16 pre-max, matching the
+            # per-point bf16 Dense values and winners.
+            y = jnp.dot(x.astype(dt), w.astype(dt))
+            y32 = y.astype(jnp.float32)
+            # flax BatchNorm's batch moments (fast variance, masked
+            # means over all leading axes, pmean over axis_name).
+            m_ = stats_mask
+            if m_ is not None and m_.ndim == y.ndim - 1:
+                m_ = m_[..., None]
+            lead = tuple(range(y.ndim - 1))
+            mean = jnp.mean(y32, lead, where=m_)
+            mean2 = jnp.mean(y32 * y32, lead, where=m_)
+            if self.axis_name:
+                mean = jax.lax.pmean(mean, self.axis_name)
+                mean2 = jax.lax.pmean(mean2, self.axis_name)
+            var = mean2 - mean * mean
+            inv, mean_, bias = _BNStateHolder(name="bn0")(
+                self.out_channels, mean, var, True)
+            sign = jnp.where(inv >= 0, 1.0, -1.0)
+            wp = (w * sign[None, :]).astype(dt)
+            mxp = gd.nbr_matmul_max_train(x.astype(dt), wp)
             y_star = sign * mxp.astype(jnp.float32)
             out = leaky_relu02((y_star - mean_) * inv + bias)
             any_valid = jnp.any(gd.nbr_mask, axis=-1)[..., None]

@@ -204,3 +204,76 @@ def test_deep_max_mlp_fused_matches_reference(rng, monkeypatch):
         np.testing.assert_allclose(
             np.asarray(got, np.float32), np.asarray(want, np.float32),
             rtol=5e-2, atol=5e-2)
+
+
+def test_point_max_fused_train_matches_reference(rng, monkeypatch):
+    """PointMaxMLP's commuted TRAIN branch (gather-then-matmul at C_in
+    lanes + single-winner VJP, engaged on TPU when C_in is
+    lane-narrower than C_out) must equal the reference pipeline
+    (per-point Dense -> BatchNorm -> LeakyReLU -> neighbor max) — same
+    outputs, same parameter gradients, same updated BatchNorm
+    statistics. Forced on here via _FORCE_FUSED_TRAIN, which exercises
+    the op's XLA reference path on CPU; the Pallas kernel itself is
+    pinned on TPU by tests/ops/test_kernels.py."""
+    import deltaconv_tpu.nn.deltaconv as dc
+    from deltaconv_tpu.nn.deltaconv import PointMaxMLP
+
+    n, c_out = 200, 16
+    pos, _, _, _, _, _, gd = _setup(rng, n, k=12)
+    x = jnp.asarray(rng.random((n, 6)).astype(np.float32))
+
+    model = PointMaxMLP(c_out)
+    variables = model.init(jax.random.PRNGKey(0), x, gd, train=False)
+
+    point_mask = np.ones(n, bool)
+    point_mask[n - 20:] = False
+    point_mask = jnp.asarray(point_mask)
+
+    def run(params, fused, pmask):
+        monkeypatch.setattr(dc, "_FORCE_FUSED_TRAIN", fused)
+        try:
+            out, mut = model.apply(
+                {"params": params,
+                 "batch_stats": variables["batch_stats"]},
+                x, gd, train=True, stats_mask=pmask,
+                mutable=["batch_stats"])
+        finally:
+            monkeypatch.undo()
+        return out, mut["batch_stats"]
+
+    for pmask in (None, point_mask):
+        want, bs_want = run(variables["params"], False, pmask)
+        got, bs_got = run(variables["params"], True, pmask)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5,
+                                   err_msg=f"mask={pmask is not None}")
+        for lg, lw in zip(jax.tree_util.tree_leaves(bs_got),
+                          jax.tree_util.tree_leaves(bs_want)):
+            np.testing.assert_allclose(np.asarray(lg), np.asarray(lw),
+                                       atol=2e-5)
+
+    # Gradients through the full stats chain (x and params).
+    target = jnp.asarray(rng.random((n, c_out)).astype(np.float32))
+
+    def loss_fn(params, xin, fused):
+        out, _ = run_grad(params, xin, fused)
+        return jnp.mean((out - target) ** 2)
+
+    def run_grad(params, xin, fused):
+        monkeypatch.setattr(dc, "_FORCE_FUSED_TRAIN", fused)
+        try:
+            return model.apply(
+                {"params": params,
+                 "batch_stats": variables["batch_stats"]},
+                xin, gd, train=True, mutable=["batch_stats"])
+        finally:
+            monkeypatch.undo()
+
+    g_want = jax.grad(loss_fn, argnums=(0, 1))(
+        variables["params"], x, False)
+    g_got = jax.grad(loss_fn, argnums=(0, 1))(
+        variables["params"], x, True)
+    for lg, lw in zip(jax.tree_util.tree_leaves(g_got),
+                      jax.tree_util.tree_leaves(g_want)):
+        np.testing.assert_allclose(np.asarray(lg), np.asarray(lw),
+                                   atol=1e-4, rtol=1e-4)

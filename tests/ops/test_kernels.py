@@ -936,3 +936,69 @@ def test_gather_mlp_max_three_layers_interpret(rng):
         want = _reference(x, ws, affines, idx, mask, False, 0)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.skipif(not ON_TPU, reason="pallas kernels need a TPU")
+def test_gather_matmul_max_train_kernel(rng):
+    """The training gather-then-matmul max kernel: values and winner
+    slots equal the rounded-domain reference exactly (the kernel
+    rounds its product to bf16 pre-max, so both sides pick winners in
+    the SAME domain — no tie ambiguity), and the custom VJP routes to
+    the winning edge with the per-point-Dense backward dtypes."""
+    from deltaconv_tpu.ops import gather_max as GM
+
+    b, n, k, ci, co = 2, 256, 10, 64, 128
+    x = jnp.asarray(rng.standard_normal((b, n, ci)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((ci, co)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    base = np.tile(np.arange(n, dtype=np.int32)[None, :, None], (b, 1, k))
+    base[..., 1:] = rng.integers(0, n, (b, n, k - 1))
+    idx = jnp.asarray(base)
+    mask = np.asarray(rng.random((b, n, k)) > 0.2)
+    mask[..., 0] = True
+    mask = jnp.asarray(mask)
+
+    out, win = GM._mm_train_pallas_fwd(x, w, idx, mask)
+    # Rounded-domain reference: bf16 x bf16 dot -> bf16 product, same
+    # as the kernel's f32-accumulate-then-round.
+    yn = np.asarray(jnp.dot(x, w), np.float32)  # [b, n, co]
+    want = np.full((b, n, co), -3.0e38, np.float32)
+    want_win = np.zeros((b, n, co), np.int32)
+    idx_n, mask_n = np.asarray(idx), np.asarray(mask)
+    for bb in range(b):
+        for t in range(n):
+            for kk in range(k):
+                if not mask_n[bb, t, kk]:
+                    continue
+                vk = yn[bb, idx_n[bb, t, kk]]
+                upd = vk > want[bb, t]
+                want[bb, t] = np.where(upd, vk, want[bb, t])
+                want_win[bb, t] = np.where(upd, kk, want_win[bb, t])
+    np.testing.assert_array_equal(np.asarray(out, np.float32), want)
+    np.testing.assert_array_equal(np.asarray(win), want_win)
+
+    # VJP: route the cotangent to the winning edges, then the standard
+    # Dense backward contractions.
+    g = jnp.asarray(rng.standard_normal((b, n, co)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    _, vjp = jax.vjp(
+        lambda xx, ww: GM.gather_matmul_max_train(xx, ww, idx, mask),
+        x, w)
+    dx, dw = vjp(out.astype(jnp.bfloat16) * 0 + g)  # g with out's aval
+    gn = np.asarray(g, np.float32)
+    dy = np.zeros((b, n, co), np.float32)
+    for bb in range(b):
+        for t in range(n):
+            for c in range(co):
+                dy[bb, idx_n[bb, t, want_win[bb, t, c]], c] += gn[bb, t, c]
+    dyc = np.asarray(jnp.asarray(dy).astype(jnp.bfloat16), np.float32)
+    wn = np.asarray(w, np.float32)
+    xn = np.asarray(x, np.float32)
+    dx_ref = dyc @ wn.T
+    dw_ref = np.einsum("bni,bno->io", xn, dyc)
+    np.testing.assert_allclose(np.asarray(dx, np.float32), dx_ref,
+                               rtol=2e-2, atol=2e-2)
+    scale = np.abs(dw_ref).max()
+    np.testing.assert_allclose(np.asarray(dw, np.float32), dw_ref,
+                               rtol=2e-2, atol=2e-2 * scale)
