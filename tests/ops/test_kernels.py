@@ -945,7 +945,12 @@ def test_gather_matmul_max_train_kernel(rng):
     rounds its product to bf16 pre-max, so both sides pick winners in
     the SAME domain — no tie ambiguity), and the custom VJP routes to
     the winning edge with the per-point-Dense backward dtypes."""
-    from deltaconv_tpu.ops import gather_max as GM
+    # NOT `import deltaconv_tpu.ops.gather_max as GM`: the package
+    # __init__ rebinds that attribute to the FUNCTION, shadowing the
+    # module (and `import ... as` resolves via the attribute).
+    import importlib
+
+    GM = importlib.import_module("deltaconv_tpu.ops.gather_max")
 
     b, n, k, ci, co = 2, 256, 10, 64, 128
     x = jnp.asarray(rng.standard_normal((b, n, ci)).astype(np.float32)
