@@ -271,6 +271,65 @@ def bench_large_train():
     return b / step_s, step_s * 1000.0
 
 
+def bench_point_shard():
+    """Large-N point-sharded forward (the SP analog, SURVEY §2.7): ONE
+    65,536-point cloud sharded over the attached chips (a 1-chip mesh
+    here — the same shard_map program that spans a v5e-8), coefficient
+    operators built per-shard, tiled local kNN (N > _KNN_TILE engages
+    the O(n_local * tile) column sweep instead of the [n_local, N]
+    distance block). Returns (points/s, ms per cloud)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from deltaconv_tpu.data import synthetic_classification_batch
+    from deltaconv_tpu.models import DeltaNetClassification
+    from deltaconv_tpu.parallel.point_sharding import (
+        point_sharded_classification,
+    )
+
+    n = 65536
+    model = DeltaNetClassification(
+        num_classes=NUM_CLASSES, conv_channels=CONV_CHANNELS,
+        num_neighbors=K, dense_operators=False,
+        compute_dtype="bfloat16",
+    )
+    # Parameter shapes are N-independent: init on a small cloud.
+    small = synthetic_classification_batch(0, 1, 256, NUM_CLASSES)
+    variables = jax.jit(
+        lambda p, nn: model.init(jax.random.PRNGKey(0), p, normal=nn,
+                                 train=False)
+    )(jnp.asarray(small["pos"][0]), jnp.asarray(small["normal"][0]))
+
+    batch = synthetic_classification_batch(1, 1, n, NUM_CLASSES)
+    pos = jnp.asarray(batch["pos"][0])
+    normal = jnp.asarray(batch["normal"][0])
+    mesh = Mesh(jax.devices(), ("points",))
+
+    @jax.jit
+    def forward(variables, pos, normal):
+        return point_sharded_classification(mesh, model, variables,
+                                            pos, normal=normal)
+
+    # Sync each window with device_get, NOT block_until_ready: on the
+    # remote-tunnel PJRT plugin block_until_ready on this shard_map
+    # output returns before execution completes (measured 0.07 ms for
+    # a 1.8 s program), while fetching the [num_classes] logits forces
+    # the real barrier and costs only one tunnel round trip.
+    for _ in range(2):
+        out = forward(variables, pos, normal)
+    jax.device_get(out)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(3):
+            out = forward(variables, pos, normal)
+        jax.device_get(out)
+        times.append((time.perf_counter() - t0) / 3)
+    sec = statistics.median(times)
+    return n / sec, sec * 1000.0
+
+
 def _bounded_submetric(flag, key, timeout=900):
     """Run ``bench.py <flag>`` in a bounded subprocess and pull ``key``
     from its JSON line; ``None`` on any failure (a degraded compile
@@ -310,6 +369,12 @@ def main():
         # config) — the other half of the reference's capability
         # surface, benched at its own shapes.
         seg_clouds_per_sec = _bounded_submetric("--mode=seg", "value")
+    point_shard_points_per_sec = None
+    if os.environ.get("DELTACONV_BENCH_SKIP_PS") != "1":
+        # Large-N point sharding (SP analog): one 65,536-pt cloud over
+        # a mesh of the attached chips, tiled local kNN.
+        point_shard_points_per_sec = _bounded_submetric(
+            "--mode=point-shard", "value")
 
     print(json.dumps({
         "metric": "clouds/sec (operator build + forward, 1024 pts, k=20, "
@@ -324,6 +389,7 @@ def main():
                           if train_step_ms is not None else None),
         "int8_serving_clouds_per_sec": int8_clouds_per_sec,
         "seg_clouds_per_sec": seg_clouds_per_sec,
+        "point_shard_points_per_sec": point_shard_points_per_sec,
         # Same-host measured anchor (BASELINE.md): the EXECUTED
         # reference implementation at this exact config on this host's
         # CPU (tools/bench_reference.py).
@@ -366,6 +432,17 @@ if __name__ == "__main__":
             "value": round(statistics.median(w), 1),
             "unit": "clouds/sec",
             "windows": [round(x, 1) for x in w],
+        }))
+    elif "--mode=point-shard" in sys.argv:
+        _enable_compile_cache()
+        pps, ms = bench_point_shard()
+        print(json.dumps({
+            "metric": "points/sec (point-sharded fwd, ONE 65536-pt "
+                      "cloud, k=20, tiled local kNN, coefficient "
+                      "operators)",
+            "value": round(pps, 1),
+            "unit": "points/sec",
+            "ms_per_cloud": round(ms, 2),
         }))
     elif "--mode=large-train" in sys.argv:
         _enable_compile_cache()
