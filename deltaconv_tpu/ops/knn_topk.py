@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["knn_topk"]
+__all__ = ["knn_topk", "knn_topk_table"]
 
 _BIG = 1e30
 
@@ -112,6 +112,125 @@ def _kernel_q(pos_ref, post_ref, sq_ref, idx_ref, *md_ref, k, n, tile,
     idx_ref[0] = jnp.concatenate(winners, axis=1)
     if mean_dist:
         md_ref[0][0] = dsum / float(k)
+
+
+def _table_kernel(rows_ref, posq_ref, sqq_ref, post_ref, sqt_ref,
+                  maskt_ref, idx_ref, bs_ref, bi_ref, *, k, n_t, tile_c,
+                  nc):
+    """Column-tiled running top-k: query tiles on the outer grid axis,
+    table (column) tiles on the inner; ``bs_ref``/``bi_ref`` VMEM
+    scratch carries each query row's best-k (score, global col) pairs
+    across column tiles. Each column tile costs k sweeps over
+    ``[T, k + tile_c]`` — total sweep work k*(N + k*nc) per row, the
+    same as the untiled kernel's k*N, with VMEM O(T * tile_c).
+
+    Scores are ``2 q.p - |q|^2 - |p|^2`` with f32 FMA passes — the
+    same value the XLA path's HIGHEST-precision dot produces — so
+    winner sets match `geometry.knn`'s dense/tiled paths bit-for-bit,
+    including ties (broken to the LOWEST global column, here via the
+    min-where sweep; cross-tile ties resolve the same way because the
+    scratch carries global column ids). The self column is pinned to
+    slot 0 with a +2*BIG score; masked/padded columns get -2*BIG and
+    are never selected while k <= #valid points."""
+    ic = pl.program_id(1)
+
+    # Empty scratch slots and already-picked winners sit at -3e38 —
+    # strictly below the -2*BIG masked-column score — so rows with
+    # fewer than k unmasked columns still emit DISTINCT masked columns
+    # in lowest-index order (as lax.top_k would) instead of repeats.
+    @pl.when(ic == 0)
+    def _init():
+        bs_ref[...] = jnp.full_like(bs_ref, -3.0e38)
+        bi_ref[...] = jnp.full_like(bi_ref, n_t)
+
+    q = posq_ref[...]  # [T, 3]
+    qx, qy, qz = q[:, 0:1], q[:, 1:2], q[:, 2:3]
+    px = post_ref[0:1, :]  # [1, Tc]
+    py = post_ref[1:2, :]
+    pz = post_ref[2:3, :]
+    s = 2.0 * (qx * px + qy * py + qz * pz) - sqq_ref[...] - sqt_ref[...]
+    col = ic * tile_c + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    row = rows_ref[...]  # [T, 1] global row ids
+    s = jnp.where(col == row, 2.0 * _BIG, s)
+    s = jnp.where(maskt_ref[...] > 0.5, s, -2.0 * _BIG)
+
+    s_aug = jnp.concatenate([bs_ref[...], s], axis=1)
+    i_aug = jnp.concatenate([bi_ref[...], col], axis=1)
+    new_s, new_i = [], []
+    for _ in range(k):
+        best = jnp.max(s_aug, axis=1, keepdims=True)  # [T, 1]
+        win = jnp.min(jnp.where(s_aug >= best, i_aug, n_t), axis=1,
+                      keepdims=True)
+        new_s.append(best)
+        new_i.append(win)
+        s_aug = jnp.where(i_aug == win, -3.0e38, s_aug)
+    bs_ref[...] = jnp.concatenate(new_s, axis=1)
+    bi_ref[...] = jnp.concatenate(new_i, axis=1)
+
+    @pl.when(ic == nc - 1)
+    def _emit():
+        idx_ref[...] = bi_ref[...]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile_q", "tile_c",
+                                              "interpret"))
+def knn_topk_table(pos_q, pos_t, k: int, row_offset=0, point_mask=None,
+                   tile_q: int = 256, tile_c: int = 2048,
+                   interpret: bool = False):
+    """k-nearest table columns for each query row: ``pos_q [Nq, 3]``,
+    ``pos_t [Nt, 3] -> idx [Nq, K]`` (global table indices, self —
+    the column equal to ``row_offset + row`` — pinned to slot 0, ties
+    to the lowest index, exact f32 scores). The unbatched, two-table
+    analog of :func:`knn_topk` for point-sharded clouds: the column
+    dimension is tiled with a running top-k in VMEM scratch, so
+    nothing of the ``[Nq, Nt]`` score plane ever reaches HBM and
+    memory stays O(tile_q * tile_c) regardless of table length.
+    ``point_mask`` (``[Nt]`` bool) hides invalid table rows."""
+    n_q = pos_q.shape[0]
+    n_t = pos_t.shape[0]
+    pad_q = (-n_q) % tile_q
+    pad_c = (-n_t) % tile_c
+    posq = jnp.pad(pos_q.astype(jnp.float32), ((0, pad_q), (0, 0)))
+    sqq = jnp.sum(posq * posq, axis=-1, keepdims=True)  # [Nq, 1]
+    rows = (jnp.asarray(row_offset, jnp.int32)
+            + jnp.arange(n_q + pad_q, dtype=jnp.int32))[:, None]
+    post = jnp.swapaxes(pos_t, 0, 1).astype(jnp.float32)  # [3, Nt]
+    post = jnp.pad(post, ((0, 0), (0, pad_c)))
+    sqt = jnp.sum(post * post, axis=0, keepdims=True)  # [1, Nt+pad]
+    mask = jnp.arange(n_t + pad_c) < n_t
+    if point_mask is not None:
+        mask = mask & jnp.pad(point_mask.astype(bool), (0, pad_c))
+    maskf = mask.astype(jnp.float32)[None, :]
+
+    nc = (n_t + pad_c) // tile_c
+    idx = pl.pallas_call(
+        functools.partial(_table_kernel, k=k, n_t=n_t, tile_c=tile_c,
+                          nc=nc),
+        grid=((n_q + pad_q) // tile_q, nc),
+        in_specs=[
+            pl.BlockSpec((tile_q, 1), lambda iq, ic: (iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, 3), lambda iq, ic: (iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, 1), lambda iq, ic: (iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tile_c), lambda iq, ic: (0, ic),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_c), lambda iq, ic: (0, ic),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_c), lambda iq, ic: (0, ic),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_q, k), lambda iq, ic: (iq, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_q + pad_q, k), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((tile_q, k), jnp.float32),
+            pltpu.VMEM((tile_q, k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(rows, posq, sqq, post, sqt, maskf)
+    return idx[:n_q]
 
 
 @functools.partial(jax.jit,

@@ -95,6 +95,16 @@ def _local_knn(pos_local, pos_full, k, offset, point_mask_full=None):
         _, idx = jax.lax.top_k(s, k)
         return idx.astype(jnp.int32)
 
+    if jax.default_backend() == "tpu":
+        # Column-tiled Pallas sweep: the [n_local, tile] score plane
+        # stays in VMEM with a running top-k scratch (ops/knn_topk.py
+        # knn_topk_table) — winner sets match the XLA scan below
+        # bit-for-bit (same score expression, same tie-breaks), at a
+        # fraction of its lax.top_k-per-tile cost.
+        from ..ops.knn_topk import knn_topk_table
+        return knn_topk_table(pos_local, pos_full, k, row_offset=offset,
+                              point_mask=point_mask_full)
+
     tile = _KNN_TILE
     pad = (-n_full) % tile
     pos_p = jnp.pad(pos_full, ((0, pad), (0, 0)))

@@ -7,6 +7,8 @@ variants compare them against the reference implementations (run
 end-to-end).
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -911,6 +913,71 @@ def test_gather_mlp_max_interpret(rng):
                 np.testing.assert_allclose(
                     np.asarray(got), np.asarray(want), rtol=2e-2,
                     atol=2e-2)
+
+
+def test_knn_topk_table_interpret_matches_local_knn(rng):
+    """The column-tiled table kNN kernel (the point-sharded local kNN
+    on TPU) == the XLA `_local_knn` paths bit-for-bit: same score
+    expression, self pinned to slot 0, masked columns excluded, ties
+    to the lowest global index — including the degenerate
+    fewer-valid-columns-than-k case, where both emit distinct masked
+    columns in lowest-index order. CPU-pinned: the interpret surrogate
+    must execute with host semantics (see test_gather_mlp_max_interpret)."""
+    import deltaconv_tpu.parallel.point_sharding as PS
+    from deltaconv_tpu.ops.knn_topk import knn_topk_table
+
+    cpu = jax.devices("cpu")[0]
+    n_t, n_q, k, off = 700, 300, 11, 150
+    pos_t = jnp.asarray(rng.standard_normal((n_t, 3)).astype(np.float32))
+    pos_q = pos_t[off:off + n_q]
+    pm = jnp.asarray(rng.random(n_t) > 0.3)
+    pm = pm.at[off:off + n_q].set(True)
+
+    with jax.default_device(cpu):
+        # Unmasked and masked, with non-dividing tile sizes.
+        for mask in (None, pm):
+            ref = np.asarray(PS._local_knn(pos_q, pos_t, k, off, mask))
+            got = np.asarray(knn_topk_table(
+                pos_q, pos_t, k, row_offset=off, point_mask=mask,
+                tile_q=64, tile_c=96, interpret=True))
+            np.testing.assert_array_equal(got, ref)
+
+        # Degenerate: fewer valid columns than k.
+        pm4 = jnp.zeros(n_t, bool).at[:5].set(True)
+        pm4 = pm4.at[off:off + 8].set(True)
+        q4 = pos_t[off:off + 8]
+        ref4 = np.asarray(PS._local_knn(q4, pos_t, k, off, pm4))
+        got4 = np.asarray(knn_topk_table(
+            q4, pos_t, k, row_offset=off, point_mask=pm4,
+            tile_q=8, tile_c=128, interpret=True))
+        np.testing.assert_array_equal(got4, ref4)
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(os.environ.get("DELTACONV_TEST_TPU") != "1",
+                    reason="TPU kernel path (set DELTACONV_TEST_TPU=1)")
+def test_knn_topk_table_tpu_set_equality(rng):
+    """On the real chip the table kernel's winner SETS equal the XLA
+    reference (order may differ on near-ties: the kernel's f32 VPU
+    FMAs vs XLA's HIGHEST 3-pass MXU dot round differently in the last
+    bit; every downstream consumer is slot-permutation-invariant past
+    the pinned self slot 0)."""
+    import deltaconv_tpu.parallel.point_sharding as PS
+    from deltaconv_tpu.ops.knn_topk import knn_topk_table
+
+    n_t, n_q, k, off = 9000, 2048, 20, 1000
+    pos_t = jnp.asarray(rng.standard_normal((n_t, 3)).astype(np.float32))
+    pos_q = pos_t[off:off + n_q]
+    sq_l = jnp.sum(pos_q * pos_q, -1)
+    sq_f = jnp.sum(pos_t * pos_t, -1)
+    s = PS._knn_scores(pos_q, sq_l, pos_t, sq_f,
+                       off + jnp.arange(n_q), jnp.arange(n_t))
+    _, ref = jax.lax.top_k(s, k)
+    got = np.asarray(knn_topk_table(pos_q, pos_t, k, row_offset=off))
+    ref = np.asarray(ref)
+    assert np.all(got[:, 0] == off + np.arange(n_q))
+    mismatch = sum(set(ref[i]) != set(got[i]) for i in range(n_q))
+    assert mismatch == 0, f"{mismatch} rows differ as sets"
 
 
 def test_gather_mlp_max_three_layers_interpret(rng):
