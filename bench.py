@@ -55,7 +55,12 @@ CONV_CHANNELS = (64, 64, 128, 256)
 NUM_CLASSES = 40
 
 WARMUP_ITERS = 8
-WINDOW_ITERS = 30
+# 120 iters/window amortizes the remote tunnel's fixed ~28 ms
+# end-of-window sync round trip to <0.25 ms/step (at 30 it inflated
+# the per-step wall ~8.5%: measured 2920 -> 3123 clouds/s on the same
+# build). Windows sync with jax.device_get — block_until_ready can
+# return before execution completes on the tunnel plugin.
+WINDOW_ITERS = 120
 NUM_WINDOWS = 5
 
 
@@ -108,14 +113,14 @@ def bench_eval(operator_dtype=None):
 
     for _ in range(WARMUP_ITERS):
         out = forward(pos, normal)
-    out.block_until_ready()
+    jax.device_get(out)
 
     windows = []
     for _ in range(NUM_WINDOWS):
         t0 = time.perf_counter()
         for _ in range(WINDOW_ITERS):
             out = forward(pos, normal)
-        out.block_until_ready()
+        jax.device_get(out)
         dt = time.perf_counter() - t0
         windows.append(BATCH * WINDOW_ITERS / dt)
     return windows
@@ -143,7 +148,11 @@ def bench_train_step():
     step = make_train_step(model, smoothing=0.2)
     arrays = {k: jnp.asarray(v) for k, v in batch.items()}
 
-    S = 10
+    # 50 steps/scan amortizes the tunnel's fixed ~27 ms end-of-window
+    # sync to ~0.5 ms/step (at S=10 it inflated per-step wall by
+    # ~2.7 ms: 25.1 -> 22.4 ms measured on the same build, matching
+    # the device-busy trace).
+    S = 50
 
     @jax.jit
     def multi(state, batch, rng):
@@ -159,13 +168,13 @@ def bench_train_step():
 
     rng = jax.random.PRNGKey(1)
     st, losses = multi(state, arrays, rng)
-    losses.block_until_ready()
+    jax.device_get(losses)
 
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
         st, losses = multi(state, arrays, rng)
-        losses.block_until_ready()
+        jax.device_get(losses)
         times.append((time.perf_counter() - t0) / S * 1000.0)
     return statistics.median(times)
 
@@ -204,14 +213,14 @@ def bench_seg():
 
     for _ in range(4):
         out = forward(pos, normal, cat)
-    out.block_until_ready()
+    jax.device_get(out)
     windows = []
     for _ in range(NUM_WINDOWS):
         t0 = time.perf_counter()
-        for _ in range(10):
+        for _ in range(40):
             out = forward(pos, normal, cat)
-        out.block_until_ready()
-        windows.append(b * 10 / (time.perf_counter() - t0))
+        jax.device_get(out)
+        windows.append(b * 40 / (time.perf_counter() - t0))
     return windows
 
 
@@ -260,12 +269,12 @@ def bench_large_train():
 
     rng = jax.random.PRNGKey(1)
     st, losses = multi(state, arrays, rng)
-    losses.block_until_ready()
+    jax.device_get(losses)
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
         st, losses = multi(state, arrays, rng)
-        losses.block_until_ready()
+        jax.device_get(losses)
         times.append((time.perf_counter() - t0) / S)
     step_s = statistics.median(times)
     return b / step_s, step_s * 1000.0
