@@ -224,6 +224,68 @@ def bench_seg():
     return windows
 
 
+def bench_seg_train():
+    """Full segmentation TRAIN step at the reference ShapeNet config
+    (per-point labels, categorical head). Median step ms via a 25-step
+    scan (amortizes the tunnel's fixed per-window sync, see
+    bench_train_step)."""
+    import jax
+    import jax.numpy as jnp
+
+    from deltaconv_tpu.data import synthetic_classification_batch
+    from deltaconv_tpu.models import DeltaNetSegmentation
+    from deltaconv_tpu.training import (
+        create_train_state,
+        make_train_step,
+        sgd_momentum,
+    )
+
+    b, n = 16, 2048
+    model = DeltaNetSegmentation(
+        num_classes=50, conv_channels=(64, 128, 256), mlp_depth=2,
+        categorical_vector=True, num_neighbors=30,
+        dense_operators=True, operator_dtype="bfloat16",
+        compute_dtype="bfloat16", knn_method="approx",
+    )
+    batch = synthetic_classification_batch(0, b, n, 16)
+    pos = jnp.asarray(batch["pos"])
+    normal = jnp.asarray(batch["normal"])
+    cat = jnp.eye(16)[jnp.asarray(batch["label"])]
+    labels = jax.random.randint(jax.random.PRNGKey(2), (b, n), 0, 50)
+
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), (pos,), sgd_momentum(0.01),
+        init_kwargs={"normal": normal, "category": cat})
+    step = make_train_step(model, smoothing=0.0, per_point=True)
+    arrays = {"pos": pos, "normal": normal, "category": cat,
+              "label": labels}
+
+    S = 25
+
+    @jax.jit
+    def multi(state, batch, rng):
+        def body(carry, i):
+            st, rg = carry
+            rg, sub = jax.random.split(rg)
+            st, metrics = step(st, batch, sub)
+            return (st, rg), metrics["loss"]
+
+        (state, _), losses = jax.lax.scan(
+            body, (state, rng), jnp.arange(S))
+        return state, losses
+
+    rng = jax.random.PRNGKey(1)
+    st, losses = multi(state, arrays, rng)
+    jax.device_get(losses)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        st, losses = multi(state, arrays, rng)
+        jax.device_get(losses)
+        times.append((time.perf_counter() - t0) / S * 1000.0)
+    return statistics.median(times)
+
+
 def bench_large_train():
     """Large-N coefficient-mode TRAIN step (dense operators are O(N^2)
     — N=8192 takes the k-sparse coef_apply path with the matmul-routed
@@ -378,6 +440,12 @@ def main():
         # config) — the other half of the reference's capability
         # surface, benched at its own shapes.
         seg_clouds_per_sec = _bounded_submetric("--mode=seg", "value")
+    seg_train_step_ms = None
+    if os.environ.get("DELTACONV_BENCH_SKIP_SEG_TRAIN") != "1":
+        # Training is the reference's primary workload; the seg config
+        # gets a train-step number like the classification one does.
+        seg_train_step_ms = _bounded_submetric(
+            "--mode=seg-train", "seg_train_step_ms")
     point_shard_points_per_sec = None
     if os.environ.get("DELTACONV_BENCH_SKIP_PS") != "1":
         # Large-N point sharding (SP analog): one 65,536-pt cloud over
@@ -398,6 +466,7 @@ def main():
                           if train_step_ms is not None else None),
         "int8_serving_clouds_per_sec": int8_clouds_per_sec,
         "seg_clouds_per_sec": seg_clouds_per_sec,
+        "seg_train_step_ms": seg_train_step_ms,
         "point_shard_points_per_sec": point_shard_points_per_sec,
         # Same-host measured anchor (BASELINE.md): the EXECUTED
         # reference implementation at this exact config on this host's
@@ -427,6 +496,18 @@ if __name__ == "__main__":
             "value": round(statistics.median(w), 1),
             "unit": "clouds/sec",
             "windows": [round(x, 1) for x in w],
+        }))
+    elif "--mode=seg-train" in sys.argv:
+        _enable_compile_cache()
+        ms = bench_seg_train()
+        print(json.dumps({
+            "metric": "train step ms (seg: build + fwd + bwd + update, "
+                      "2048 pts, k=30, conv [64,128,256] depth 2, "
+                      "batch 16)",
+            "seg_train_step_ms": round(ms, 2),
+            "value": round(ms, 2),
+            "unit": "ms",
+            "clouds_per_sec": round(16 / (ms / 1000.0), 1),
         }))
     elif "--mode=int8" in sys.argv:
         # Opt-in quantized serving form (geometry/dense.py int8 path):
