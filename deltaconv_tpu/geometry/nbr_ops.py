@@ -106,3 +106,21 @@ class NeighborAggregations:
         for _ in range(self.nbr_idx.ndim - 2):
             f = jax.vmap(f)
         return f(h, self.nbr_idx)
+
+    def nbr_gather(self, h):
+        """:meth:`gather`, routed through the one-hot MXU gather on
+        TPU (``ops/gather_rows``; XLA's native gather runs ~9 GB/s —
+        measured 8 ms/step for the segmentation config's [B, N, K, 3]
+        edge fetch vs ~2.5 ms for the one-hot contraction) with the
+        exact transposed-matmul scatter as its VJP. Off-TPU this is
+        ``gather`` itself."""
+        if jax.default_backend() != "tpu":
+            return self.gather(h)
+        from ..ops.gather_rows import gather_rows
+
+        unbatched = self._unbatched(h)
+        hb = h[None] if unbatched else h
+        idx = self.nbr_idx[None] if unbatched else self.nbr_idx
+        out = gather_rows(hb, idx)  # [B, C, K, N] f32 (exact)
+        out = jnp.transpose(out, (0, 3, 2, 1)).astype(h.dtype)
+        return out[0] if unbatched else out

@@ -426,7 +426,7 @@ class DeepMaxMLP(lnn.Module):
 
         ddt = jnp.dtype(self.dtype) if self.dtype else None
         if self.centralized:
-            x_j = gd.gather(x)  # [..., N, K, C]
+            x_j = gd.nbr_gather(x)  # [..., N, K, C]
             h = x_j - x[..., :, None, :]
         else:
             h = x
@@ -499,7 +499,7 @@ class DeltaConv(lnn.Module):
                                    name="s_mlp_max")(
                     x, gd, train=train, stats_mask=edge_mask)
             else:
-                x_j = gd.gather(x)  # [..., N, K, C]
+                x_j = gd.nbr_gather(x)  # [..., N, K, C]
                 edge = x_j - x[..., :, None, :]
                 h = MLP(channels, dtype=self.dtype, axis_name=self.axis_name,
                         name="s_mlp_max")(edge, train=train,
@@ -519,7 +519,7 @@ class DeltaConv(lnn.Module):
         else:
             h = MLP(channels, dtype=self.dtype, axis_name=self.axis_name,
                     name="s_mlp_max")(x, train=train, mask=point_mask)
-            h = gd.gather(h)
+            h = gd.nbr_gather(h)
             x_max = _aggregate(h, gd.nbr_mask, self.aggr)
 
         # Operator branch: scalar and vector calculus features.

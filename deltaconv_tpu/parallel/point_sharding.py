@@ -225,6 +225,10 @@ class ShardedGradDiv:
     def gather(self, h):
         return self._full(h)[self.nbr_idx]
 
+    # The sharded gather is already collective-based; the Pallas
+    # one-hot dispatch does not apply inside the shard_map body.
+    nbr_gather = gather
+
 
 def _build_local(pos_l, normal_l, pm_l, k, axis, kernel_width,
                  regularizer, normal_k=10):
