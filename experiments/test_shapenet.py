@@ -14,13 +14,19 @@ from train_shapenet import augment, build_datasets_and_classes, \
     shapenet_model
 
 
-def main():
+def build_parser():
+    """CLI defaults per reference test_shapenet.py:117-146
+    (batch_size 16 at :124, num_votes 10 at :126)."""
     parser = base_parser("DeltaNet ShapeNet voting evaluation (TPU)")
-    parser.set_defaults(num_points=2048, k=30)
+    parser.set_defaults(batch_size=16, num_points=2048, k=30)
     parser.add_argument("--class_choice", type=str, default=None)
     parser.add_argument("--num_votes", type=int, default=10,
                         help="Stochastic-augmented eval passes")
-    args = parser.parse_args()
+    return parser
+
+
+def main():
+    args = build_parser().parse_args()
     args = finish_args(args, "shapenet_test", "ShapeNet")
     if not args.checkpoint:
         raise SystemExit("--checkpoint is required for voting evaluation")

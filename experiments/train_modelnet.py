@@ -34,11 +34,30 @@ def build_datasets(args):
     return train, test
 
 
+# Reference recipe constants (train_modelnet.py:30-40,67-68,102; the
+# model uses DeltaNetClassification's defaults [64, 64, 128, 256] /
+# mlp_depth 1, deltanet_classification.py:14-16). Pinned by
+# tests/experiments/test_cli_defaults.py.
+RECIPE = {
+    "conv_channels": (64, 64, 128, 256),
+    "mlp_depth": 1,
+    "optimizer": "sgd",
+    "lr_scale": 100,
+    "weight_decay": 1e-4,
+    "schedule": "cosine",
+    "smoothing": 0.2,
+    "aug_scales": (4.0 / 5.0, 5.0 / 4.0),
+    "aug_translate": 0.1,
+}
+
+
 def build_model(args):
     from deltaconv_tpu.models import DeltaNetClassification
 
     return DeltaNetClassification(
         num_classes=args.num_classes,
+        conv_channels=RECIPE["conv_channels"],
+        mlp_depth=RECIPE["mlp_depth"],
         num_neighbors=args.k,
         grad_regularizer=args.grad_regularizer,
         grad_kernel_width=args.grad_kernel,
@@ -61,12 +80,17 @@ def augment(key, batch):
     return out
 
 
-def main():
+def build_parser():
+    """CLI defaults per reference train_modelnet.py:145-184."""
     parser = base_parser("DeltaNet ModelNet classification (TPU)")
     parser.add_argument("--num_classes", type=int, default=40,
                         metavar="40,10",
                         help="ModelNet variant (default: 40)")
-    args = parser.parse_args()
+    return parser
+
+
+def main():
+    args = build_parser().parse_args()
     args = finish_args(args, f"modelnet{args.num_classes}",
                        f"ModelNet{args.num_classes}")
 
@@ -99,7 +123,7 @@ def main():
         scalars = evaluate_classification(model, state, test_loader)
     else:
         config = FitConfig(epochs=args.epochs, seed=args.seed,
-                           smoothing=0.2,
+                           smoothing=RECIPE["smoothing"],
                            data_parallel=not args.no_data_parallel)
         state = fit(model, state, train_loader, test_loader, config,
                     logger=logger, checkpoint_dir=ckpt_dir, augment=augment,

@@ -33,7 +33,23 @@ def augment(key, batch):
     return out
 
 
-def main():
+# Reference recipe constants (train_scanobjectnn.py:72,80-81,112).
+RECIPE = {
+    "num_classes": 15,
+    "conv_channels": (64, 64, 64, 128),
+    "optimizer": "sgd",
+    "lr_scale": 100,
+    "weight_decay": 1e-4,
+    "schedule": "cosine",
+    "smoothing": 0.2,
+    "aug_jitter": 0.01,
+    "aug_scales": (4.0 / 5.0, 5.0 / 4.0),
+    "aug_translate": 0.1,
+}
+
+
+def build_parser():
+    """CLI defaults per reference train_scanobjectnn.py:156-196."""
     parser = base_parser("DeltaNet ScanObjectNN classification (TPU)")
     parser.set_defaults(num_points=1024, grad_regularizer=0.01)
     parser.add_argument("--background", action="store_true",
@@ -42,7 +58,11 @@ def main():
                         choices=[None, "PB_T25", "PB_T25_R", "PB_T50_R",
                                  "PB_T50_RS"],
                         help="Perturbation variant (default: None)")
-    args = parser.parse_args()
+    return parser
+
+
+def main():
+    args = build_parser().parse_args()
     args = finish_args(args, "scanobjectnn", "ScanObjectNN")
 
     from deltaconv_tpu.data import BatchLoader, ScanObjectNN
@@ -66,8 +86,8 @@ def main():
                               drop_last=False)
 
     model = DeltaNetClassification(
-        num_classes=15,
-        conv_channels=(64, 64, 64, 128),
+        num_classes=RECIPE["num_classes"],
+        conv_channels=RECIPE["conv_channels"],
         num_neighbors=args.k,
         grad_regularizer=args.grad_regularizer,
         grad_kernel_width=args.grad_kernel,
@@ -87,7 +107,8 @@ def main():
     if args.evaluating:
         state = restore_any(args.checkpoint, state)
     else:
-        config = FitConfig(epochs=args.epochs, seed=args.seed, smoothing=0.2,
+        config = FitConfig(epochs=args.epochs, seed=args.seed,
+                           smoothing=RECIPE["smoothing"],
                            data_parallel=not args.no_data_parallel)
         state = fit(model, state, train_loader, test_loader, config,
                     logger=logger, checkpoint_dir=ckpt_dir, augment=augment,

@@ -13,16 +13,32 @@ import jax.numpy as jnp
 from common import base_parser, finish_args, make_logger
 
 
+# Reference recipe constants (train_shapenet.py:63-64,79-89,109).
+RECIPE = {
+    "conv_channels": (64, 128, 256),
+    "mlp_depth": 2,
+    "embedding_size": 1024,
+    "categorical_vector": True,
+    "optimizer": "sgd",
+    "lr_scale": 100,
+    "weight_decay": 1e-4,
+    "schedule": "cosine",
+    "smoothing": 0.0,
+    "aug_scales": (2.0 / 3.0, 3.0 / 2.0),
+    "aug_translate": 0.2,
+}
+
+
 def shapenet_model(args, num_classes):
     """Shared with test_shapenet.py (reference train_shapenet.py:77-89)."""
     from deltaconv_tpu.models import DeltaNetSegmentation
 
     return DeltaNetSegmentation(
         num_classes=num_classes,
-        conv_channels=(64, 128, 256),
-        mlp_depth=2,
-        embedding_size=1024,
-        categorical_vector=True,
+        conv_channels=RECIPE["conv_channels"],
+        mlp_depth=RECIPE["mlp_depth"],
+        embedding_size=RECIPE["embedding_size"],
+        categorical_vector=RECIPE["categorical_vector"],
         num_neighbors=args.k,
         grad_regularizer=args.grad_regularizer,
         grad_kernel_width=args.grad_kernel,
@@ -66,12 +82,18 @@ def build_datasets_and_classes(args):
     return train_ds, test_ds, num_classes
 
 
-def main():
+def build_parser():
+    """CLI defaults per reference train_shapenet.py:166-200
+    (batch_size 16 at :169 — smaller than the classification 32)."""
     parser = base_parser("DeltaNet ShapeNet part segmentation (TPU)")
-    parser.set_defaults(num_points=2048, k=30, epochs=200)
+    parser.set_defaults(batch_size=16, num_points=2048, k=30, epochs=200)
     parser.add_argument("--class_choice", type=str, default=None,
                         help="Train on a single shape category")
-    args = parser.parse_args()
+    return parser
+
+
+def main():
+    args = build_parser().parse_args()
     args = finish_args(args, "shapenet", "ShapeNet")
 
     from deltaconv_tpu.data import BatchLoader
@@ -107,7 +129,8 @@ def main():
     if args.evaluating:
         state = restore_any(args.checkpoint, state)
     else:
-        config = FitConfig(epochs=args.epochs, seed=args.seed, smoothing=0.0,
+        config = FitConfig(epochs=args.epochs, seed=args.seed,
+                           smoothing=RECIPE["smoothing"],
                            data_parallel=not args.no_data_parallel)
         state = fit(model, state, train_loader, test_loader, config,
                     logger=logger, checkpoint_dir=ckpt_dir, augment=augment,

@@ -46,10 +46,32 @@ class _Subset:
         return self.dataset[self.indices[i]]
 
 
-def main():
+# Reference recipe constants (train_shapeseg.py:68-83,118 — NO label
+# smoothing: calc_loss(..., smoothing=False)).
+RECIPE = {
+    "num_classes": 8,
+    "conv_channels": (128,) * 8,
+    "mlp_depth": 1,
+    "embedding_size": 512,
+    "optimizer": "adam",
+    "schedule": "step_lr",
+    "step_size": 30,
+    "gamma": 0.1,
+    "smoothing": 0.0,
+    "aug_scales": (0.8, 1.2),
+    "aug_translate": 0.1,
+}
+
+
+def build_parser():
+    """CLI defaults per reference train_shapeseg.py:145-178."""
     parser = base_parser("DeltaNet ShapeSeg human segmentation (TPU)")
     parser.set_defaults(num_points=1024, epochs=50, lr=0.005, batch_size=8)
-    args = parser.parse_args()
+    return parser
+
+
+def main():
+    args = build_parser().parse_args()
     args = finish_args(args, "shapeseg", "ShapeSeg")
 
     from deltaconv_tpu.data import BatchLoader, ShapeSeg
@@ -88,10 +110,10 @@ def main():
                               drop_last=False)
 
     model = DeltaNetSegmentation(
-        num_classes=8,
-        conv_channels=(128,) * 8,
-        mlp_depth=1,
-        embedding_size=512,
+        num_classes=RECIPE["num_classes"],
+        conv_channels=RECIPE["conv_channels"],
+        mlp_depth=RECIPE["mlp_depth"],
+        embedding_size=RECIPE["embedding_size"],
         num_neighbors=args.k,
         grad_regularizer=args.grad_regularizer,
         grad_kernel_width=args.grad_kernel,
@@ -101,7 +123,8 @@ def main():
     example = next(iter(train_loader))
     state = create_train_state(
         model, jax.random.PRNGKey(args.seed), (jnp.asarray(example["pos"]),),
-        adam_steplr(args.lr, step_size=30, gamma=0.1,
+        adam_steplr(args.lr, step_size=RECIPE["step_size"],
+                    gamma=RECIPE["gamma"],
                     steps_per_epoch=len(train_loader)),
         init_kwargs={"normal": jnp.asarray(example["normal"])},
     )
@@ -131,7 +154,10 @@ def main():
                 save_checkpoint(ckpt_dir, s, step=0)  # best.pt analog
         return scalars
 
-    config = FitConfig(epochs=args.epochs, seed=args.seed, smoothing=0.2,
+    # Reference trains WITHOUT label smoothing
+    # (train_shapeseg.py:118: calc_loss(..., smoothing=False)).
+    config = FitConfig(epochs=args.epochs, seed=args.seed,
+                       smoothing=RECIPE["smoothing"],
                        data_parallel=not args.no_data_parallel)
     fit(model, state, train_loader, test_loader, config, logger=logger,
         checkpoint_dir=None, augment=augment, per_point=True,

@@ -31,12 +31,30 @@ def augment(key, batch):
     return out
 
 
-def main():
+# Reference recipe constants (train_shrec.py:62,70-71,102).
+RECIPE = {
+    "num_classes": 30,
+    "conv_channels": (32, 32, 32, 32),
+    "optimizer": "sgd",
+    "lr_scale": 100,
+    "weight_decay": 1e-4,
+    "schedule": "cosine",
+    "smoothing": 0.2,
+    "aug_translate": 0.1,
+}
+
+
+def build_parser():
+    """CLI defaults per reference train_shrec.py:144-178."""
     parser = base_parser("DeltaNet SHREC classification (TPU)")
     parser.set_defaults(batch_size=16, epochs=100, num_points=2048)
     parser.add_argument("--split_seed", type=int, default=None,
                         help="Seed of the random 10-per-class split")
-    args = parser.parse_args()
+    return parser
+
+
+def main():
+    args = build_parser().parse_args()
     args = finish_args(args, "shrec", "SHREC")
 
     from deltaconv_tpu.data import SHREC, BatchLoader
@@ -65,8 +83,8 @@ def main():
                               drop_last=False)
 
     model = DeltaNetClassification(
-        num_classes=30,
-        conv_channels=(32, 32, 32, 32),
+        num_classes=RECIPE["num_classes"],
+        conv_channels=RECIPE["conv_channels"],
         num_neighbors=args.k,
         grad_regularizer=args.grad_regularizer,
         grad_kernel_width=args.grad_kernel,
@@ -87,7 +105,8 @@ def main():
     if args.evaluating:
         state = restore_any(args.checkpoint, state)
     else:
-        config = FitConfig(epochs=args.epochs, seed=args.seed, smoothing=0.2,
+        config = FitConfig(epochs=args.epochs, seed=args.seed,
+                           smoothing=RECIPE["smoothing"],
                            data_parallel=not args.no_data_parallel)
         state = fit(model, state, train_loader, test_loader, config,
                     logger=logger, checkpoint_dir=ckpt_dir, augment=augment,

@@ -281,7 +281,7 @@ def test_sharded_nbr_protocol_matmul_minmax_matches(rng):
     table directly — no second all-gather)."""
     from functools import partial
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     from deltaconv_tpu.parallel.point_sharding import (
@@ -314,7 +314,7 @@ def test_sharded_nbr_protocol_matmul_minmax_matches(rng):
             jax.tree_util.tree_map(lambda _: P("points"), sgd),
             P("points"), P(None)),
         out_specs=(P("points"), P("points")),
-        check_rep=False,
+        check_vma=False,
     )
     def run(sgd_local, x_l, w_full):
         s = ShardedGradDiv(sgd_local, "points")
