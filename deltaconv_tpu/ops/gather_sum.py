@@ -77,11 +77,17 @@ def _adj_kernel(idx_ref, mask_ref, out_ref, *, k, n):
     out_ref[0] = _adjacency(idx_ref, mask_ref, t, n, k, twice=False)
 
 
-# Materialized-adjacency cutoff: above this the [B, N, N] bf16 matrix
-# stops paying for itself (memory ~ B*N^2; the streaming kernels stay
-# O(N*K)). N=1024/2048 (the reference's two headline configs) sit well
-# under it.
-_DENSE_ADJ_MAX_N = 4096
+# Materialized-adjacency cutoff, keyed on TOTAL bytes (the [B, N, N]
+# bf16 matrix is held live as a VJP residual from forward to backward,
+# so B matters as much as N: B=16 x N=4096 alone would be ~536 MB).
+# The reference's two headline configs sit well under it: B=32/N=1024
+# = 64 MB, B=16/N=2048 = 128 MB. Above the budget the streaming
+# kernels keep O(N*K) memory.
+_DENSE_ADJ_MAX_BYTES = 256 * 1024 * 1024
+
+
+def _dense_path_ok(b: int, n: int) -> bool:
+    return b * n * n * 2 <= _DENSE_ADJ_MAX_BYTES
 
 
 def _adjacency_matrix(idx, mask, tile, interpret):
@@ -150,18 +156,25 @@ def gather_sum(h, idx, mask, tile=128, interpret=False):
 
 
 def _fwd(h, idx, mask, tile, interpret):
-    out, _ = _fwd_with_adj(h, idx, mask, tile, interpret)
+    # Primal-only (non-differentiated) call: keep the streaming kernel
+    # — the dense path's only payoff is reusing A in the VJP; with no
+    # VJP the [B, N, N] materialization is a pure HBM round trip.
+    out, _ = _fwd_with_adj(h, idx, mask, tile, interpret,
+                           need_adj=False)
     return out
 
 
-def _fwd_with_adj(h, idx, mask, tile, interpret):
+def _fwd_with_adj(h, idx, mask, tile, interpret, need_adj=True):
     """Returns ``(out, A_or_None)`` — A is the materialized adjacency
-    when the dense fast path engaged (reused by the VJP)."""
+    when the dense fast path engaged (reused by the VJP). Pass
+    ``need_adj=False`` for forward-only callers: the streaming kernel
+    keeps the adjacency in VMEM per tile instead of writing B*N^2
+    bytes to HBM that nothing will reuse."""
     if jax.default_backend() != "tpu" and not interpret:
         return _reference(h, idx, mask).astype(jnp.float32), None
     b, n, c = h.shape
     k = idx.shape[-1]
-    if n <= _DENSE_ADJ_MAX_N:
+    if need_adj and _dense_path_ok(b, n):
         adj = _adjacency_matrix(idx, mask, tile, interpret)
         # hi/lo channel-stack: exact f32 sum through bf16 MXU operands
         # (adjacency counts and the split halves are bf16-exact).

@@ -383,6 +383,58 @@ def test_gather_rows_component_major_interpret(rng, tile, n, monkeypatch):
                                atol=1e-4, rtol=1e-4)
 
 
+def test_gather_sum_streaming_path_interpret(rng, monkeypatch):
+    """The O(N*K) streaming _fwd_kernel/_bwd_kernel pair (engaged when
+    the [B, N, N] adjacency would bust the byte budget) must match the
+    reference sum and scatter-add gradient. _DENSE_ADJ_MAX_BYTES is
+    patched to 0 so the streaming kernels run even at tiny N (the
+    dense path otherwise swallows every test-sized cloud)."""
+    import deltaconv_tpu.ops.gather_sum as GS
+    from deltaconv_tpu.ops.gather_sum import gather_sum
+
+    monkeypatch.setattr(GS, "_DENSE_ADJ_MAX_BYTES", 0)
+
+    b, n, k, c = 2, 192, 7, 16
+    h = jnp.asarray(rng.random((b, n, c)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, n, (b, n, k)).astype(np.int32))
+    mask = np.ones((b, n, k), bool)
+    mask[:, :, -2:] = False
+    mask = jnp.asarray(mask)
+
+    out = jax.jit(lambda a: gather_sum(a, idx, mask, 64, True))(h)
+    hn, idxn, maskn = map(np.asarray, (h, idx, mask))
+    want = np.where(maskn[..., None],
+                    hn[np.arange(b)[:, None, None], idxn], 0.0).sum(2)
+    np.testing.assert_allclose(np.asarray(out), want, atol=1e-5,
+                               rtol=1e-5)
+
+    ct = jnp.asarray(rng.random((b, n, c)).astype(np.float32))
+    g = jax.jit(jax.grad(lambda a: jnp.sum(
+        gather_sum(a, idx, mask, 64, True) * ct)))(h)
+    acc = np.zeros((b, n, c), np.float64)
+    ctn = np.asarray(ct, np.float64)
+    for bi in range(b):
+        for ni in range(n):
+            for kk in range(k):
+                if maskn[bi, ni, kk]:
+                    acc[bi, idxn[bi, ni, kk]] += ctn[bi, ni]
+    np.testing.assert_allclose(np.asarray(g), acc.astype(np.float32),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_gather_sum_dense_cutoff_keys_on_bytes():
+    """The dense-adjacency fast path is gated on TOTAL residual bytes
+    (B*N*N*2), not N alone: B=16 x N=4096 (~536 MB live from forward
+    to backward) must take the streaming path while the two headline
+    configs stay dense."""
+    from deltaconv_tpu.ops.gather_sum import _dense_path_ok
+
+    assert _dense_path_ok(32, 1024)      # headline cls: 64 MB
+    assert _dense_path_ok(16, 2048)      # headline seg: 128 MB
+    assert not _dense_path_ok(16, 4096)  # 536 MB residual
+    assert not _dense_path_ok(1, 16384)
+
+
 def test_gather_matmul_minmax_interpret(rng):
     """Fused gather-then-matmul min/max == numpy gather of (x @ w)."""
     from deltaconv_tpu.ops.gather_max import gather_matmul_minmax
