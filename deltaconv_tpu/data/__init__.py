@@ -12,7 +12,12 @@ from .scanobjectnn import ScanObjectNN
 from .shapenet import ShapeNet
 from .shapeseg import ShapeSeg
 from .shrec import SHREC
-from .synthetic import synthetic_classification_batch, synthetic_shapes
+from .synthetic import (
+    synthetic_classification_batch,
+    synthetic_seg_shapes,
+    synthetic_segmentation_batch,
+    synthetic_shapes,
+)
 
 __all__ = [
     "BatchLoader",
@@ -24,5 +29,7 @@ __all__ = [
     "ShapeNet",
     "ShapeSeg",
     "synthetic_classification_batch",
+    "synthetic_seg_shapes",
+    "synthetic_segmentation_batch",
     "synthetic_shapes",
 ]
