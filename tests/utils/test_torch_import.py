@@ -98,70 +98,7 @@ def test_full_model_key_coverage(rng):
                 out[prefix + (k,)] = v
         return out
 
-    def synth_torch_sd(params, batch_stats):
-        """Invert the mapping: synthesize a torch-style state_dict from
-        our tree so the importer can be round-trip tested."""
-        sd = {}
-
-        def emit(path, arr):
-            # Rebuild torch names from our structured names.
-            parts = list(path)
-            # Head renames.
-            joined = "/".join(parts)
-            torch_parts = []
-            i = 0
-            while i < len(parts):
-                p = parts[i]
-                if p.startswith("conv") and p[4:].isdigit():
-                    torch_parts.append(f"convs.{p[4:]}")
-                elif p.startswith("lin") and p[3:].isdigit() and \
-                        parts[i + 1] == "kernel":
-                    torch_parts.append(f"{p[3:]}.0.weight")
-                    i += 2
-                    continue
-                elif p.startswith("bn") and p[2:].isdigit():
-                    leaf = {"scale": "weight", "bias": "bias",
-                            "mean": "running_mean",
-                            "var": "running_var"}[parts[i + 2]]
-                    torch_parts.append(f"{p[2:]}.1.bn.{leaf}")
-                    i += 3
-                    continue
-                elif p.startswith("nonlin") and p[6:].isdigit():
-                    leaf = {"scale": "weight", "bias": "bias",
-                            "mean": "running_mean",
-                            "var": "running_var"}[parts[i + 3]]
-                    torch_parts.append(f"{p[6:]}.1.batchnorm.bn.{leaf}")
-                    i += 4
-                    continue
-                elif p == "kernel":
-                    torch_parts.append("weight")
-                elif p == "bias":
-                    torch_parts.append("bias")
-                else:
-                    torch_parts.append(p)
-                i += 1
-            name = ".".join(torch_parts)
-            name = name.replace("head0.", "classification_head.0.") \
-                if class_mode else name.replace(
-                    "head0.", "segmentation_head.0.")
-            if class_mode:
-                name = name.replace("head1.", "classification_head.2.")
-                name = name.replace("head_out.", "classification_head.4.")
-            else:
-                name = name.replace("head1.", "segmentation_head.2.")
-                name = name.replace("head2.", "segmentation_head.4.")
-                name = name.replace("head_out.", "segmentation_head.6.")
-            arr = np.asarray(arr)
-            if name.endswith("weight") and arr.ndim == 2 and \
-                    ".bn." not in name and "batchnorm" not in name:
-                arr = arr.T
-            sd[name] = arr
-
-        for path, arr in flatten(params).items():
-            emit(path, arr)
-        for path, arr in flatten(batch_stats).items():
-            emit(path, arr)
-        return sd
+    from deltaconv_tpu.utils.torch_export import export_torch_state_dict
 
     for class_mode in (True, False):
         if class_mode:
@@ -179,7 +116,9 @@ def test_full_model_key_coverage(rng):
         variables = model.init(jax.random.PRNGKey(0), pos, train=False,
                                **kwargs)
 
-        sd = synth_torch_sd(variables["params"], variables["batch_stats"])
+        sd = export_torch_state_dict(
+            variables["params"], variables["batch_stats"],
+            head="classification" if class_mode else "segmentation")
         params, batch_stats, skipped = import_state_dict(sd)
         assert not skipped, skipped[:5]
 
