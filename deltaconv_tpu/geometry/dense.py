@@ -85,10 +85,14 @@ class DenseGradDiv(NeighborAggregations):
                                    self_slot0=self_slot0)
         return super().nbr_max(h, self_slot0=self_slot0)
 
-    def nbr_matmul_max(self, x, w, self_slot0: bool = True):
+    def nbr_matmul_max(self, x, w, self_slot0: bool = True,
+                       affine=None):
         """int8 mode: gather the quantized inputs with an int8 one-hot
-        contraction, apply ``w`` in VMEM, dequantize after the max."""
+        contraction, apply ``w`` in VMEM, dequantize after the max.
+        Callers keep the XLA epilogue on the int8 path (``affine`` is
+        only honored by the bf16 kernel)."""
         if self._int8:
+            assert affine is None, "int8 path keeps the XLA epilogue"
             from ..ops.gather_max import (
                 gather_matmul_max_int8,
                 int8_quantize,
@@ -104,7 +108,8 @@ class DenseGradDiv(NeighborAggregations):
             out = (out.astype(jnp.float32)
                    * s[..., None, None]).astype(x.dtype)
             return out[0] if unbatched else out
-        return super().nbr_matmul_max(x, w, self_slot0=self_slot0)
+        return super().nbr_matmul_max(x, w, self_slot0=self_slot0,
+                                      affine=affine)
 
     def _quantize_in(self, x):
         """Symmetric per-cloud int8 activation quantization; returns

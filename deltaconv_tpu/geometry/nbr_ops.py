@@ -63,18 +63,40 @@ class NeighborAggregations:
         return gather_matmul_minmax(x, w, self.nbr_idx, self.nbr_mask,
                                     self_slot0=self_slot0)
 
-    def nbr_matmul_max(self, x, w, self_slot0: bool = True):
+    def nbr_matmul_max(self, x, w, self_slot0: bool = True,
+                       affine=None):
         """Max of ``(x @ w)[nbr]`` over valid neighbors — single-chain
         variant for sign-folded callers (TPU only; callers gate on
-        backend). All-masked rows return -3e38 (callers mask them)."""
+        backend). All-masked rows return -3e38 (callers mask them).
+        ``affine = (sign, inv, mean, bias)`` fuses the eval
+        BN/LeakyReLU epilogue in-kernel (result is the final
+        activation, all-masked rows zeroed)."""
         from ..ops.gather_max import gather_matmul_max
 
         if self._unbatched(x):
             return gather_matmul_max(x[None], w, self.nbr_idx[None],
                                      self.nbr_mask[None],
-                                     self_slot0=self_slot0)[0]
+                                     self_slot0=self_slot0,
+                                     affine=affine)[0]
         return gather_matmul_max(x, w, self.nbr_idx, self.nbr_mask,
-                                 self_slot0=self_slot0)
+                                 self_slot0=self_slot0, affine=affine)
+
+    def nbr_max_affine(self, h, affine, sub_self: bool = False,
+                       interpret: bool = False):
+        """Forward-only masked neighbor max with the eval BN/LeakyReLU
+        epilogue fused in-kernel (TPU/interpret only; callers gate).
+        ``sub_self`` subtracts the self row inside the sign fold
+        (EdgeMaxMLP's centralized form). Requires the kNN slot-0
+        self-loop convention and bf16 features."""
+        from ..ops.gather_max import gather_max_affine
+
+        if self._unbatched(h):
+            return gather_max_affine(h[None], self.nbr_idx[None],
+                                     self.nbr_mask[None], affine,
+                                     sub_self=sub_self,
+                                     interpret=interpret)[0]
+        return gather_max_affine(h, self.nbr_idx, self.nbr_mask, affine,
+                                 sub_self=sub_self, interpret=interpret)
 
     def nbr_matmul_max_train(self, x, w):
         """Differentiable ``max_k (x @ w)[nbr]`` (single-winner VJP,
@@ -82,10 +104,14 @@ class NeighborAggregations:
         ``nbr_matmul_max``). All-masked rows return -3e38."""
         from ..ops.gather_max import gather_matmul_max_train
 
+        # The kNN builder pins the self loop to slot 0 (geometry/knn.py)
+        # — both the forward and the winner-routed backward read/route
+        # it by direct addressing.
         if self._unbatched(x):
             return gather_matmul_max_train(x[None], w, self.nbr_idx[None],
-                                           self.nbr_mask[None])[0]
-        return gather_matmul_max_train(x, w, self.nbr_idx, self.nbr_mask)
+                                           self.nbr_mask[None], True)[0]
+        return gather_matmul_max_train(x, w, self.nbr_idx, self.nbr_mask,
+                                       True)
 
     def nbr_sum(self, h, mask=None):
         """Masked neighbor sum (adjacency contraction)."""

@@ -38,6 +38,10 @@ _FORCE_FUSED_OFF = False
 # Take PointMaxMLP's commuted TRAIN branch on any backend (the op
 # falls back to its XLA reference path off-TPU) — CPU parity tests.
 _FORCE_FUSED_TRAIN = False
+# Keep the eval BN/LeakyReLU epilogue in XLA instead of fusing it into
+# the gather kernels (A/B measurement + parity tests). Never set in
+# production.
+_FORCE_EPILOGUE_OFF = False
 
 
 def gather_neighbors(x, nbr_idx):
@@ -204,6 +208,19 @@ class EdgeMaxMLP(lnn.Module):
             self.out_channels, mean, var, train)
         sign = jnp.where(inv >= 0, 1.0, -1.0)
         yp = (y * sign).astype(dt)  # bf16 kernels run single-pass
+        fused_epi = (not train and dt == jnp.bfloat16
+                     and not _FORCE_EPILOGUE_OFF
+                     and not getattr(gd, "_int8", False)
+                     and hasattr(gd, "nbr_max_affine")
+                     and (jax.default_backend() == "tpu"
+                          or _FORCE_FUSED_INTERPRET))
+        if fused_epi:
+            # Eval: the whole epilogue (self-subtract, sign fold, BN
+            # affine, LeakyReLU, padded-row zeroing) runs inside the
+            # gather kernel — bit-exact vs the XLA epilogue below.
+            return gd.nbr_max_affine(yp, (sign, inv, mean_, bias),
+                                     sub_self=True,
+                                     interpret=_FORCE_FUSED_INTERPRET)
         mxp = gd.nbr_max(yp, self_slot0=True)
         h_star = sign * (mxp.astype(jnp.float32)
                          - yp.astype(jnp.float32))
@@ -275,11 +292,22 @@ class PointMaxMLP(lnn.Module):
                 self.out_channels, None, None, False)
             sign = jnp.where(inv >= 0, 1.0, -1.0)
             wp = (w * sign[None, :]).astype(dt)
-            mxp = gd.nbr_matmul_max(x.astype(dt), wp, self_slot0=True)
-            y_star = sign * mxp.astype(jnp.float32)
-            out = leaky_relu02((y_star - mean_) * inv + bias)
-            any_valid = jnp.any(gd.nbr_mask, axis=-1)[..., None]
-            out = jnp.where(any_valid, out, 0.0).astype(dt)
+            fused_epi = (not _FORCE_EPILOGUE_OFF
+                         and not getattr(gd, "_int8", False)
+                         and hasattr(gd, "nbr_max_affine"))
+            if fused_epi:
+                # The BN/LeakyReLU epilogue runs inside the gather
+                # kernel (bit-exact vs the XLA epilogue below).
+                out = gd.nbr_matmul_max(
+                    x.astype(dt), wp, self_slot0=True,
+                    affine=(sign, inv, mean_, bias))
+            else:
+                mxp = gd.nbr_matmul_max(x.astype(dt), wp,
+                                        self_slot0=True)
+                y_star = sign * mxp.astype(jnp.float32)
+                out = leaky_relu02((y_star - mean_) * inv + bias)
+                any_valid = jnp.any(gd.nbr_mask, axis=-1)[..., None]
+                out = jnp.where(any_valid, out, 0.0).astype(dt)
         elif fused_train:
             # Commuted training branch: the per-point Dense feeds ONLY
             # the BatchNorm batch moments (cheap [N, C_in]@[C_in, C_out]
@@ -314,6 +342,29 @@ class PointMaxMLP(lnn.Module):
             any_valid = jnp.any(gd.nbr_mask, axis=-1)[..., None]
             out = jnp.where(any_valid, out, 0.0).astype(dt)
         else:
+            fused_epi = (not train and dt == jnp.bfloat16
+                         and not _FORCE_EPILOGUE_OFF
+                         and not getattr(gd, "_int8", False)
+                         and hasattr(gd, "nbr_max_affine")
+                         and (jax.default_backend() == "tpu"
+                              or _FORCE_FUSED_INTERPRET))
+            if fused_epi:
+                # Eval, equal-lane case (gather-after-MLP): commute the
+                # monotone BN+LeakyReLU through the max by sign folding
+                # so the epilogue runs once per POINT inside the gather
+                # kernel instead of once per point before it plus a
+                # masking pass after. Rounding moves past the max
+                # (values bf16-rounded once at the end instead of
+                # per-point pre-max) — within the eval fast paths'
+                # documented bf16 tolerance.
+                inv, mean_, bias = _BNStateHolder(name="bn0")(
+                    self.out_channels, None, None, False)
+                sign = jnp.where(inv >= 0, 1.0, -1.0)
+                y = jnp.dot(x.astype(dt), w.astype(dt))
+                yp = (y.astype(jnp.float32) * sign).astype(dt)
+                return gd.nbr_max_affine(
+                    yp, (sign, inv, mean_, bias),
+                    interpret=_FORCE_FUSED_INTERPRET)
             bn = BatchNorm(name="bn0", axis_name=self.axis_name)
             y = jnp.dot(x.astype(dt), w.astype(dt))  # == Dense(dtype=dt)
             h = leaky_relu02(bn(y, train=train, mask=stats_mask))
@@ -366,10 +417,13 @@ class DeepMaxMLP(lnn.Module):
         # only wins when the input is lane-narrower (always true for
         # the centralized variant, whose fallback is the edge tensor).
         interpret = _FORCE_FUSED_INTERPRET
+        # The fused eval kernel gathers FEATURES in bf16 regardless of
+        # the operator dtype, so it stays engaged under int8 OPERATORS
+        # (geometry/dense.py serving mode): the int8 trade lives in the
+        # operator applies/densify, not in this gather.
         fused = (not _FORCE_FUSED_OFF
                  and not train and dt == jnp.bfloat16
                  and (jax.default_backend() == "tpu" or interpret)
-                 and not getattr(gd, "_int8", False)
                  and (self.centralized
                       or pad128(x.shape[-1]) < pad128(self.channels[-1])))
 
@@ -406,16 +460,24 @@ class DeepMaxMLP(lnn.Module):
             xb = x[None] if unbatched else x
             idx = gd.nbr_idx[None] if unbatched else gd.nbr_idx
             mask = gd.nbr_mask[None] if unbatched else gd.nbr_mask
+            # Self slot (kNN slot 0): centralized edges are the zero
+            # vector — one constant chain; otherwise the per-point MLP.
+            z0 = (chain(jnp.zeros((1, x.shape[-1]), dt))[0]  # [C]
+                  if self.centralized else chain(xb.astype(dt)))
+            if not _FORCE_EPILOGUE_OFF:
+                # The self-slot merge AND the BN/LeakyReLU epilogue run
+                # inside the kernel — bit-exact vs the XLA tail below.
+                m = gather_mlp_max(xb.astype(dt), ws, affines, idx,
+                                   mask, centralized=self.centralized,
+                                   skip_slot0=True, interpret=interpret,
+                                   z0=z0,
+                                   epilogue=(sign, inv, mean_, bias))
+                return m[0] if unbatched else m
             m = gather_mlp_max(xb.astype(dt), ws, affines, idx, mask,
                                centralized=self.centralized,
                                skip_slot0=True, interpret=interpret)
-            # Self slot (kNN slot 0): centralized edges are the zero
-            # vector — one constant chain; otherwise the per-point MLP.
             if self.centralized:
-                z0 = chain(jnp.zeros((1, x.shape[-1]), dt))  # [1, C]
-                z0 = jnp.broadcast_to(z0, m.shape)
-            else:
-                z0 = chain(xb.astype(dt))
+                z0 = jnp.broadcast_to(z0[None, None, :], m.shape)
             m = jnp.maximum(m, jnp.where(mask[..., 0:1], z0, -3.0e38))
             if unbatched:
                 m = m[0]

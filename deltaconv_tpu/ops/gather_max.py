@@ -28,7 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["gather_max", "gather_minmax", "gather_matmul_minmax",
            "masked_nbr_max", "int8_quantize", "gather_max_int8",
-           "gather_matmul_max_int8"]
+           "gather_matmul_max_int8", "gather_max_affine"]
 
 _NEG = -3.0e38  # ~ -inf in f32, safe to negate/compare
 
@@ -211,8 +211,9 @@ def _pallas_fwd(h, idx, mask, tile=128, interpret=False, winners=True,
     mask_p = _pad_to(mask.astype(jnp.int32), tile, 1)
     n_pad = idx_p.shape[1]
     # Self-row reads address table rows [t0, t0+tile); only safe when
-    # no padded tiles exist.
-    self0 = self0 and n_pad == n and not winners
+    # no padded tiles exist. Winner tracking composes: the kk=0 slot
+    # reads its own rows and records winner 0 like any other slot.
+    self0 = self0 and n_pad == n
 
     hilo, paired = split_hilo(h)
     cw = 2 * c if paired else c
@@ -253,7 +254,7 @@ def _pallas_fwd(h, idx, mask, tile=128, interpret=False, winners=True,
 
 
 def _bwd_mm_kernel(idx_ref, win1_ref, g1_ref, win2_ref, g2_ref, dh_ref,
-                   *, k, n, two, paired):
+                   *, k, n, two, paired, self0=False):
     """Winner-routed scatter as ONE transposed one-hot matmul.
 
     G[kk*T + t, :] = [win1[t] == kk] * g1[t] (+ the same for the
@@ -264,9 +265,15 @@ def _bwd_mm_kernel(idx_ref, win1_ref, g1_ref, win2_ref, g2_ref, dh_ref,
     routing of f32 cotangents); bf16 pipelines pass cotangents that
     are ALREADY bf16 — there ``lo == 0`` identically, so a single
     half-width pass is exact and halves the dominant MXU contraction
-    (measured 4.0 -> 2.0 ms on the 256-channel layer's backward)."""
+    (measured 4.0 -> 2.0 ms on the 256-channel layer's backward).
+
+    ``self0`` (kNN self-loop promise, unpadded square tiles only):
+    slot-0 cotangents route to the tile's OWN rows via a direct
+    dynamic-slice accumulate — one fewer [T, N] compare pass and T
+    fewer contraction rows per tile."""
     t = idx_ref.shape[1]
-    onehot = build_onehot(idx_ref, t, n, k)  # [K*T, N]
+    k0 = 1 if self0 else 0
+    onehot = build_onehot(idx_ref, t, n, k, k0)  # [(K-k0)*T, N]
 
     # Cotangent blocks arrive bf16 — PRE-SPLIT [T, 2C] hi/lo when
     # ``paired`` (split_hilo in _pallas_bwd_mm; splitting in-kernel is
@@ -280,30 +287,41 @@ def _bwd_mm_kernel(idx_ref, win1_ref, g1_ref, win2_ref, g2_ref, dh_ref,
     # two=True is off the training hot path).
     entries = [(win1_ref, g1_ref)] + ([(win2_ref, g2_ref)] if two else [])
     acc = None
+    self_acc = None
     for win_ref, g_ref_ in entries:
         w = win_ref[0]
         if paired:
             w = jnp.concatenate([w, w], axis=-1)
         g = g_ref_[0]
         gcat = jnp.concatenate(
-            [jnp.where(w == kk, g, jnp.zeros_like(g)) for kk in range(k)],
-            axis=0)  # [K*T, 2C|C] bf16
+            [jnp.where(w == kk, g, jnp.zeros_like(g))
+             for kk in range(k0, k)],
+            axis=0)  # [(K-k0)*T, 2C|C] bf16
         part = jax.lax.dot_general(
             onehot, gcat, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [N, 2C|C]
         acc = part if acc is None else acc + part
+        if self0:
+            sp = jnp.where(w == 0, g, jnp.zeros_like(g)).astype(
+                jnp.float32)
+            self_acc = sp if self_acc is None else self_acc + sp
 
     @pl.when(pl.program_id(1) == 0)
     def _init():
         dh_ref[0] = jnp.zeros_like(dh_ref[0])
 
     dh_ref[0] += acc
+    if self0:
+        t0 = pl.program_id(1) * t
+        dh_ref[0, pl.ds(t0, t), :] += self_acc
 
 
-def _pallas_bwd_mm(idx, winners_and_gs, n_out, tile=128):
+def _pallas_bwd_mm(idx, winners_and_gs, n_out, tile=128, self0=False):
     """winners_and_gs: [(winner [B,N,C] int32 k-slots, g [B,N,C])]
-    with one or two entries; returns dh [B, n_out, C] f32."""
+    with one or two entries; returns dh [B, n_out, C] f32. ``self0``
+    routes slot-0 cotangents by direct addressing (kNN self-loop
+    promise; auto-disabled for padded/non-square shapes)."""
     b, n, c = winners_and_gs[0][1].shape
     k = idx.shape[-1]
     # bf16 cotangents are exactly representable -> single half-width
@@ -317,6 +335,7 @@ def _pallas_bwd_mm(idx, winners_and_gs, n_out, tile=128):
                     fixed_bytes=n_out * 4 * cw)
     idx_p = _pad_to(idx.astype(jnp.int32), tile, 1)
     n_pad = idx_p.shape[1]
+    self0 = self0 and n_pad == n and n == n_out
     two = len(winners_and_gs) == 2
     args = [idx_p]
     for w, g in winners_and_gs:
@@ -342,7 +361,7 @@ def _pallas_bwd_mm(idx, winners_and_gs, n_out, tile=128):
                             memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_bwd_mm_kernel, k=k, n=n_out, two=two,
-                          paired=paired),
+                          paired=paired, self0=self0),
         grid=(b, n_pad // tile),
         in_specs=[spec_idx, spec_nc, spec_ncw, spec_nc, spec_ncw],
         out_specs=pl.BlockSpec((1, n_out, cw), lambda ib, it: (ib, 0, 0),
@@ -398,7 +417,7 @@ def _fwd(h, idx, mask, winners=True, self0=False):
 
 
 def _gather_max_fwd(h, idx, mask, self_slot0):
-    out, winner = _fwd(h, idx, mask)
+    out, winner = _fwd(h, idx, mask, self0=self_slot0)
     # Residuals keep the K-SLOT winner (not the resolved point index):
     # the matmul backward routes by slot, and resolving indices cost a
     # K-pass select over [B, N, C] per layer.
@@ -410,8 +429,11 @@ def _gather_max_bwd(self_slot0, res, g):
     h_dtype = dtype_carrier.dtype
     if jax.default_backend() == "tpu":
         # g keeps its dtype: bf16 cotangents take the exact
-        # half-width backward pass (see _bwd_mm_kernel).
-        dh = _pallas_bwd_mm(idx, [(winner, g)], n_out)
+        # half-width backward pass (see _bwd_mm_kernel); slot-0
+        # cotangents route by direct addressing under the kNN
+        # self-loop promise.
+        dh = _pallas_bwd_mm(idx, [(winner, g)], n_out,
+                            self0=self_slot0)
     else:
         g = g.astype(jnp.float32)
         win_idx = _win_to_idx(idx, winner)
@@ -559,12 +581,116 @@ def _mm_minmax_kernel(idx_ref, mask_ref, x_ref, w_ref, mx_ref, mn_ref,
     mn_ref[0] = worst.astype(mn_ref.dtype)
 
 
-def _mm_max_kernel(idx_ref, mask_ref, x_ref, w_ref, mx_ref,
-                   *, k, n, self0=False):
+def _bn_lrelu_epilogue(best, aff_ref, mask_ref, self_rows=None):
+    """The eval-mode BatchNorm+LeakyReLU epilogue, fused in-kernel.
+
+    Replays the caller's XLA epilogue op-for-op (nn/deltaconv.py eval
+    branches) so fused == unfused BIT-exactly: the running max rounds
+    to bf16 first (the unfused kernels write bf16 outputs), the affine
+    runs in f32 in the same association order, and all-masked rows
+    zero out. ``aff_ref`` holds [sign, inv, mean, bias] as a [4, C]
+    f32 block; ``self_rows`` (f32, already bf16-valued) subtracts the
+    tile's own features before the sign fold (EdgeMaxMLP's
+    ``max_k(y_j) - y_i`` centralized form)."""
+    mxb = best.astype(jnp.bfloat16).astype(jnp.float32)
+    sign = aff_ref[0:1, :]
+    inv = aff_ref[1:2, :]
+    mean = aff_ref[2:3, :]
+    bias = aff_ref[3:4, :]
+    if self_rows is not None:
+        # masked_nbr_max maps all-masked rows to 0 pre-subtract; the
+        # final valid-select zeroes them either way.
+        mxb = jnp.where(jnp.sum(mask_ref[0], axis=1)[:, None] > 0,
+                        mxb, 0.0)
+        h_star = sign * (mxb - self_rows)
+    else:
+        h_star = sign * mxb
+    o = (h_star - mean) * inv + bias
+    o = jnp.where(o >= 0, o, 0.2 * o)
+    valid = jnp.sum(mask_ref[0], axis=1)[:, None] > 0
+    return jnp.where(valid, o, 0.0)
+
+
+def _max_affine_kernel(idx_ref, mask_ref, hilo_ref, aff_ref, out_ref,
+                       *, k, n, self0, sub_self):
+    """Masked neighbor max + fused BN/LeakyReLU epilogue (eval only,
+    bf16 tables — no hi/lo pairing). ``sub_self`` implements
+    EdgeMaxMLP's centralized form: the self features come from the
+    direct row read when ``self0`` (unpadded tiles) or from the one-hot
+    slot-0 gather otherwise (both exact for bf16 tables)."""
+    t = idx_ref.shape[1]
+    k0 = 1 if self0 else 0
+    onehot = build_onehot(idx_ref, t, n, k, k0)
+    val = jnp.dot(onehot, hilo_ref[0],
+                  preferred_element_type=jnp.float32)
+    best = jnp.full((t, val.shape[-1]), _NEG, jnp.float32)
+    self_rows = None
+    for kk in range(k):
+        if self0 and kk == 0:
+            vk = _self_rows(hilo_ref, t).astype(jnp.float32)
+        else:
+            i0 = (kk - k0) * t
+            vk = val[i0:i0 + t, :]
+        if kk == 0 and sub_self:
+            self_rows = vk
+        ok = mask_ref[0, :, kk][:, None] > 0
+        best = jnp.maximum(best, jnp.where(ok, vk, _NEG))
+    out = _bn_lrelu_epilogue(best, aff_ref, mask_ref, self_rows)
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def gather_max_affine(h, idx, mask, affine, sub_self=False, tile=128,
+                      interpret=False):
+    """Forward-only masked neighbor max with the eval BatchNorm +
+    LeakyReLU epilogue fused into the kernel: saves one full XLA
+    elementwise pass (HBM read+write of the [B, N, C] max) per conv.
+
+    ``affine = (sign, inv, mean, bias)`` — each ``[C]`` f32 — computes
+    ``lrelu0.2((sign * max - mean) * inv + bias)`` (with the self row
+    subtracted inside the sign fold when ``sub_self``), zeroing rows
+    with no valid neighbor. Requires bf16 ``h`` and the kNN
+    self-slot-0 convention. Bit-exact vs the unfused
+    ``masked_nbr_max`` + XLA epilogue (test-pinned)."""
+    b, n, c = h.shape
+    k = idx.shape[-1]
+    assert h.dtype == jnp.bfloat16, "affine epilogue path is bf16-only"
+    tile = fit_tile(tile, k * (2 * n + 12 * c))
+    idx_p = _pad_to(idx.astype(jnp.int32), tile, 1)
+    mask_p = _pad_to(mask.astype(jnp.int32), tile, 1)
+    n_pad = idx_p.shape[1]
+    self0 = n_pad == n  # padded tiles gather self via the slot-0 one-hot
+    aff = jnp.stack([a.astype(jnp.float32) for a in affine])  # [4, C]
+
+    spec_t = pl.BlockSpec((1, tile, k), lambda ib, it: (ib, it, 0),
+                          memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_max_affine_kernel, k=k, n=n, self0=self0,
+                          sub_self=sub_self),
+        grid=(b, n_pad // tile),
+        in_specs=[
+            spec_t, spec_t,
+            pl.BlockSpec((1, n, c), lambda ib, it: (ib, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, c), lambda ib, it: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile, c), lambda ib, it: (ib, it, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, c), jnp.bfloat16),
+        interpret=interpret,
+    )(idx_p, mask_p, h, aff)
+    return out[:, :n]
+
+
+def _mm_max_kernel(idx_ref, mask_ref, x_ref, w_ref, *rest,
+                   k, n, self0=False, affine=False):
     """Single-chain variant of ``_mm_minmax_kernel``: callers that
     sign-fold the downstream monotone map into ``w``'s columns
     (``w' = w * sign(slope)``, so ``max_k y' = sign * extreme``) only
-    need the max — half the select work and half the output traffic."""
+    need the max — half the select work and half the output traffic.
+    With ``affine`` the eval BN/LeakyReLU epilogue runs in-kernel
+    (``_bn_lrelu_epilogue``) and the output is the final activation."""
+    aff_ref, mx_ref = rest if affine else (None, rest[0])
     t = idx_ref.shape[1]
     k0 = 1 if self0 else 0
     onehot = build_onehot(idx_ref, t, n, k, k0)
@@ -583,16 +709,24 @@ def _mm_max_kernel(idx_ref, mask_ref, x_ref, w_ref, mx_ref,
             vk = y[i0:i0 + t, :]
         ok = mask_ref[0, :, kk][:, None] > 0
         best = jnp.maximum(best, jnp.where(ok, vk, _NEG))
-    mx_ref[0] = best.astype(mx_ref.dtype)
+    if affine:
+        mx_ref[0] = _bn_lrelu_epilogue(best, aff_ref, mask_ref).astype(
+            mx_ref.dtype)
+    else:
+        mx_ref[0] = best.astype(mx_ref.dtype)
 
 
 def gather_matmul_max(x, w, idx, mask, tile=128, interpret=False,
-                      self_slot0=False):
+                      self_slot0=False, affine=None):
     """``x [B, N, C_in] bf16, w [C_in, C_out] bf16 -> max`` of
     ``(x @ w)[idx]`` over valid neighbors — the single-chain eval fast
     path (the caller sign-folds the BatchNorm slope into ``w``, see
     ``_mm_max_kernel``). Forward-only. Rows with no valid neighbor
-    return ``-3e38`` (callers mask them)."""
+    return ``-3e38`` (callers mask them). With ``affine = (sign, inv,
+    mean, bias)`` (each ``[C_out]`` f32) the eval BN/LeakyReLU
+    epilogue is fused in-kernel and the result is the final activation
+    with all-masked rows zeroed — bit-exact vs the unfused kernel +
+    XLA epilogue (test-pinned)."""
     b, n, c_in = x.shape
     c_out = w.shape[-1]
     k = idx.shape[-1]
@@ -607,20 +741,27 @@ def gather_matmul_max(x, w, idx, mask, tile=128, interpret=False,
                           memory_space=pltpu.VMEM)
     spec_o = pl.BlockSpec((1, tile, c_out), lambda ib, it: (ib, it, 0),
                           memory_space=pltpu.VMEM)
+    in_specs = [
+        spec_t, spec_t,
+        pl.BlockSpec((1, n, c_in), lambda ib, it: (ib, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((c_in, c_out), lambda ib, it: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [idx_p, mask_p, x.astype(jnp.bfloat16), w.astype(jnp.bfloat16)]
+    if affine is not None:
+        in_specs.append(pl.BlockSpec((4, c_out), lambda ib, it: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(jnp.stack([a.astype(jnp.float32) for a in affine]))
     mx = pl.pallas_call(
-        functools.partial(_mm_max_kernel, k=k, n=n, self0=self0),
+        functools.partial(_mm_max_kernel, k=k, n=n, self0=self0,
+                          affine=affine is not None),
         grid=(b, n_pad // tile),
-        in_specs=[
-            spec_t, spec_t,
-            pl.BlockSpec((1, n, c_in), lambda ib, it: (ib, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((c_in, c_out), lambda ib, it: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=spec_o,
         out_shape=jax.ShapeDtypeStruct((b, n_pad, c_out), jnp.bfloat16),
         interpret=interpret,
-    )(idx_p, mask_p, x.astype(jnp.bfloat16), w.astype(jnp.bfloat16))
+    )(*args)
     return mx[:, :n]
 
 
@@ -669,26 +810,35 @@ def gather_matmul_minmax(x, w, idx, mask, tile=128, interpret=False,
 
 
 def _mm_max_win_kernel(idx_ref, mask_ref, x_ref, w_ref, mx_ref, win_ref,
-                       *, k, n):
+                       *, k, n, self0=False):
     """``_mm_max_kernel`` + winner-slot tracking for the training VJP:
     the one-hot contraction runs at C_in lanes (the whole point — the
     per-point-then-gather train path pays it at C_out), the layer
     kernel applies on the gathered block in VMEM, and the product is
     rounded to bf16 BEFORE the max so values AND winners match the
-    per-point bf16 Dense of the reference pipeline exactly."""
+    per-point bf16 Dense of the reference pipeline exactly. ``self0``
+    reads the tile's own rows for slot 0 (kNN self-loop promise) —
+    one fewer compare pass and T fewer contraction rows."""
     t = idx_ref.shape[1]
-    onehot = build_onehot(idx_ref, t, n, k)
+    k0 = 1 if self0 else 0
+    onehot = build_onehot(idx_ref, t, n, k, k0)
     xg = jnp.dot(onehot, x_ref[0],
-                 preferred_element_type=jnp.float32)  # [K*T, C_in]
+                 preferred_element_type=jnp.float32)  # [(K-k0)*T, C_in]
     y = jnp.dot(xg.astype(jnp.bfloat16), w_ref[...],
-                preferred_element_type=jnp.float32)  # [K*T, C_out]
+                preferred_element_type=jnp.float32)  # [(K-k0)*T, C_out]
     y = y.astype(jnp.bfloat16).astype(jnp.float32)
     c = y.shape[-1]
     best = jnp.full((t, c), _NEG, jnp.float32)
     winner = jnp.zeros((t, c), jnp.int32)
     for kk in range(k):
-        vk = jnp.where(mask_ref[0, :, kk][:, None] > 0,
-                       y[kk * t:(kk + 1) * t, :], _NEG)
+        if self0 and kk == 0:
+            vk = jnp.dot(_self_rows(x_ref, t), w_ref[...],
+                         preferred_element_type=jnp.float32)
+            vk = vk.astype(jnp.bfloat16).astype(jnp.float32)
+        else:
+            i0 = (kk - k0) * t
+            vk = y[i0:i0 + t, :]
+        vk = jnp.where(mask_ref[0, :, kk][:, None] > 0, vk, _NEG)
         upd = vk > best  # strict: first max wins (argmax semantics)
         best = jnp.where(upd, vk, best)
         winner = jnp.where(upd, kk, winner)
@@ -696,7 +846,7 @@ def _mm_max_win_kernel(idx_ref, mask_ref, x_ref, w_ref, mx_ref, win_ref,
     win_ref[0] = winner
 
 
-def _mm_train_pallas_fwd(x, w, idx, mask, tile=128):
+def _mm_train_pallas_fwd(x, w, idx, mask, tile=128, self0=False):
     b, n, c_in = x.shape
     c_out = w.shape[-1]
     k = idx.shape[-1]
@@ -707,12 +857,13 @@ def _mm_train_pallas_fwd(x, w, idx, mask, tile=128):
     idx_p = _pad_to(idx.astype(jnp.int32), tile, 1)
     mask_p = _pad_to(mask.astype(jnp.int32), tile, 1)
     n_pad = idx_p.shape[1]
+    self0 = self0 and n_pad == n
     spec_t = pl.BlockSpec((1, tile, k), lambda ib, it: (ib, it, 0),
                           memory_space=pltpu.VMEM)
     spec_o = pl.BlockSpec((1, tile, c_out), lambda ib, it: (ib, it, 0),
                           memory_space=pltpu.VMEM)
     mx, win = pl.pallas_call(
-        functools.partial(_mm_max_win_kernel, k=k, n=n),
+        functools.partial(_mm_max_win_kernel, k=k, n=n, self0=self0),
         grid=(b, n_pad // tile),
         in_specs=[
             spec_t, spec_t,
@@ -741,8 +892,8 @@ def _mm_train_reference_fwd(x, w, idx, mask):
     return out, winner
 
 
-@jax.custom_vjp
-def gather_matmul_max_train(x, w, idx, mask):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def gather_matmul_max_train(x, w, idx, mask, self_slot0=False):
     """Differentiable ``max_k (x @ w)[idx]`` over valid neighbors, the
     TRAIN-mode twin of :func:`gather_matmul_max`: the one-hot gather
     contraction runs at C_in lanes instead of C_out (the per-point
@@ -753,28 +904,31 @@ def gather_matmul_max_train(x, w, idx, mask):
     pipeline's per-point bf16 Dense + neighbor max; gradients route to
     the single winning edge (torch-scatter semantics) and flow to BOTH
     ``x`` (via w^T) and ``w`` (via the gathered winner rows).
-    All-masked rows return -3e38 (callers mask them)."""
-    out, _ = _mm_train_fwd_dispatch(x, w, idx, mask)
+    All-masked rows return -3e38 (callers mask them). ``self_slot0``
+    (kNN self-loop promise) reads/routes slot 0 by direct addressing
+    in both the forward and the winner-routed backward."""
+    out, _ = _mm_train_fwd_dispatch(x, w, idx, mask, self_slot0)
     return out
 
 
-def _mm_train_fwd_dispatch(x, w, idx, mask):
+def _mm_train_fwd_dispatch(x, w, idx, mask, self_slot0=False):
     if jax.default_backend() == "tpu":
-        return _mm_train_pallas_fwd(x, w, idx, mask)
+        return _mm_train_pallas_fwd(x, w, idx, mask, self0=self_slot0)
     return _mm_train_reference_fwd(x, w, idx, mask)
 
 
-def _gmm_train_fwd(x, w, idx, mask):
-    out, winner = _mm_train_fwd_dispatch(x, w, idx, mask)
+def _gmm_train_fwd(x, w, idx, mask, self_slot0):
+    out, winner = _mm_train_fwd_dispatch(x, w, idx, mask, self_slot0)
     return out, (x, w, idx, winner)
 
 
-def _gmm_train_bwd(res, g):
+def _gmm_train_bwd(self_slot0, res, g):
     x, w, idx, winner = res
     b, n, c_in = x.shape
     if jax.default_backend() == "tpu":
         # bf16 cotangents -> single half-width routing pass.
-        dy = _pallas_bwd_mm(idx, [(winner, g)], n)  # [B, N, C_out] f32
+        dy = _pallas_bwd_mm(idx, [(winner, g)], n,
+                            self0=self_slot0)  # [B, N, C_out] f32
     else:
         win_idx = _win_to_idx(idx, winner)
         c_out = g.shape[-1]

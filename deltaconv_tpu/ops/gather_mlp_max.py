@@ -65,12 +65,16 @@ def _mlp_chain(h0, w_refs, aff_refs, n_layers):
 
 
 def _kernel(idx_ref, mask_ref, x_ref, *refs, k, n, n_layers,
-            centralized, k0):
+            centralized, k0, z0_mode=None, affine=False):
     t = idx_ref.shape[1]
     c_in = x_ref.shape[2]
+    refs = list(refs)
     w_refs = refs[:n_layers]
+    rest = refs[n_layers + 2 * (n_layers - 1):]
     aff_refs = refs[n_layers:n_layers + 2 * (n_layers - 1)]
-    out_ref = refs[-1]
+    z0_ref = rest.pop(0) if z0_mode else None
+    epi_ref = rest.pop(0) if affine else None
+    out_ref = rest[-1]
 
     kk_n = k - k0
     onehot = build_onehot(idx_ref, t, n, k, k0)  # [(K-k0)*T, N]
@@ -90,7 +94,27 @@ def _kernel(idx_ref, mask_ref, x_ref, *refs, k, n, n_layers,
         vk = z[i0:i0 + t, :]
         ok = mask_ref[0, :, kk][:, None] > 0
         best = jnp.maximum(best, jnp.where(ok, vk, _NEG))
-    out_ref[0] = best
+    if z0_mode:
+        # The self slot (kNN slot 0), precomputed by the caller: one
+        # broadcast row ("const", the centralized zero edge) or the
+        # tile's per-point rows ("rows").
+        z0 = (z0_ref[0] if z0_mode == "const"
+              else z0_ref[0].astype(jnp.float32))
+        ok0 = mask_ref[0, :, 0][:, None] > 0
+        best = jnp.maximum(best, jnp.where(ok0, z0, _NEG))
+    if affine:
+        # Eval epilogue (nn/deltaconv.py DeepMaxMLP): NO bf16 rounding
+        # of the max first — the unfused kernel returns f32.
+        sign = epi_ref[0:1, :]
+        inv = epi_ref[1:2, :]
+        mean = epi_ref[2:3, :]
+        bias = epi_ref[3:4, :]
+        o = (sign * best - mean) * inv + bias
+        o = jnp.where(o >= 0, o, 0.2 * o)
+        valid = jnp.sum(mask_ref[0], axis=1)[:, None] > 0
+        out_ref[0] = jnp.where(valid, o, 0.0).astype(out_ref.dtype)
+    else:
+        out_ref[0] = best
 
 
 def _reference(x, ws, affines, idx, mask, centralized, k0):
@@ -116,7 +140,8 @@ def _reference(x, ws, affines, idx, mask, centralized, k0):
 
 
 def gather_mlp_max(x, ws, affines, idx, mask, centralized=False,
-                   skip_slot0=False, tile=128, interpret=False):
+                   skip_slot0=False, tile=128, interpret=False,
+                   z0=None, epilogue=None):
     """``x [B, N, C_in]``: masked max over neighbor slots of the
     eval-mode MLP applied per edge (see module docstring).
 
@@ -132,16 +157,27 @@ def gather_mlp_max(x, ws, affines, idx, mask, centralized=False,
         before layer 0 (the ``x_j - x_i`` edge variant).
       skip_slot0: exclude slot 0 (the kNN self-loop) — the caller
         contributes it with a per-point matmul.
+      z0: optional precomputed self-slot values merged in-kernel
+        (requires ``skip_slot0``): ``[C_out]`` f32 (one broadcast row,
+        the centralized zero edge) or ``[B, N, C_out]`` per-point.
+      epilogue: optional ``(sign, inv, mean, bias)`` — the eval
+        BN/LeakyReLU epilogue runs in-kernel and the result is the
+        final bf16 activation with all-masked rows zeroed (bit-exact
+        vs the XLA epilogue; requires ``z0``).
 
-    Returns ``[B, N, C_out]`` f32; rows with no valid covered slot
-    return ``-3e38`` (callers mask or max them with the self slot).
+    Returns ``[B, N, C_out]`` f32 (or bf16 with ``epilogue``); rows
+    with no valid covered slot return ``-3e38`` (callers mask or max
+    them with the self slot) or 0 with ``epilogue``.
     """
     b, n, c_in = x.shape
     k = idx.shape[-1]
     k0 = 1 if skip_slot0 else 0
     n_layers = len(ws)
     assert len(affines) == n_layers - 1
+    assert (z0 is None) or skip_slot0
+    assert (epilogue is None) or z0 is not None
     if not (jax.default_backend() == "tpu" or interpret):
+        assert z0 is None and epilogue is None
         return _reference(x, ws, affines, idx, mask, centralized, k0)
 
     c_out = ws[-1].shape[-1]
@@ -174,11 +210,34 @@ def gather_mlp_max(x, ws, affines, idx, mask, centralized=False,
                                         lambda ib, it: (0, 0),
                                         memory_space=pltpu.VMEM))
 
+    z0_mode = None
+    if z0 is not None:
+        if z0.ndim == 1:
+            z0_mode = "const"
+            w_args.append(z0.astype(jnp.float32)[None, :])
+            w_specs.append(pl.BlockSpec((1, c_out),
+                                        lambda ib, it: (0, 0),
+                                        memory_space=pltpu.VMEM))
+        else:
+            z0_mode = "rows"
+            z0p = _pad_to(z0.astype(jnp.bfloat16), tile, 1)
+            w_args.append(z0p)
+            w_specs.append(pl.BlockSpec((1, tile, c_out),
+                                        lambda ib, it: (ib, it, 0),
+                                        memory_space=pltpu.VMEM))
+    if epilogue is not None:
+        w_args.append(jnp.stack([a.astype(jnp.float32)
+                                 for a in epilogue]))
+        w_specs.append(pl.BlockSpec((4, c_out), lambda ib, it: (0, 0),
+                                    memory_space=pltpu.VMEM))
+    out_dt = jnp.float32 if epilogue is None else jnp.bfloat16
+
     # The one-hot spans the (possibly padded) table length: padded
     # columns can never match an index (< n), so no masking is needed.
     out = pl.pallas_call(
         functools.partial(_kernel, k=k, n=n_tab, n_layers=n_layers,
-                          centralized=centralized, k0=k0),
+                          centralized=centralized, k0=k0,
+                          z0_mode=z0_mode, affine=epilogue is not None),
         grid=(b, n_pad // tile),
         in_specs=[
             spec_t, spec_t,
@@ -188,7 +247,7 @@ def gather_mlp_max(x, ws, affines, idx, mask, centralized=False,
         out_specs=pl.BlockSpec((1, tile, c_out),
                                lambda ib, it: (ib, it, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n_pad, c_out), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, c_out), out_dt),
         interpret=interpret,
     )(idx_p, mask_p, x.astype(jnp.bfloat16), *w_args)
     return out[:, :n]

@@ -206,6 +206,79 @@ def test_deep_max_mlp_fused_matches_reference(rng, monkeypatch):
             rtol=5e-2, atol=5e-2)
 
 
+def test_edge_max_fused_epilogue_matches_unfused(rng, monkeypatch):
+    """EdgeMaxMLP's eval path with the BN/LeakyReLU epilogue fused
+    into the gather kernel (gather_max_affine) is bit-exact vs the
+    unfused kernel + XLA epilogue (negative BN slopes exercise the
+    sign folding and an all-masked row the zeroing)."""
+    import deltaconv_tpu.nn.deltaconv as dc
+    from deltaconv_tpu.nn.deltaconv import EdgeMaxMLP
+
+    n, c_out = 200, 24
+    pos, _, _, _, _, _, gd = _setup(rng, n, k=12)
+    x = jnp.asarray(rng.random((n, 8)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+
+    model = EdgeMaxMLP(c_out, dtype="bfloat16")
+    variables = model.init(jax.random.PRNGKey(0), x, gd, train=False)
+    stats = jax.tree.map(
+        lambda a: jnp.abs(jnp.asarray(
+            rng.standard_normal(a.shape).astype(np.float32))),
+        variables["batch_stats"])
+    params = jax.tree.map(
+        lambda a: jnp.asarray(
+            rng.standard_normal(a.shape).astype(np.float32)),
+        variables["params"])
+    variables = {"params": params, "batch_stats": stats}
+
+    want = model.apply(variables, x, gd, train=False)
+
+    monkeypatch.setattr(dc, "_FORCE_FUSED_INTERPRET", True)
+    got = model.apply(variables, x, gd, train=False)
+    monkeypatch.undo()
+
+    np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                  np.asarray(want, np.float32))
+
+
+def test_point_max_equal_lane_fused_eval_matches_reference(rng,
+                                                           monkeypatch):
+    """PointMaxMLP's equal-lane eval path (sign-folded max + in-kernel
+    BN/LeakyReLU epilogue, engaged when C_in and C_out pad to the same
+    lane count) matches the reference pipeline (per-point Dense -> BN
+    -> LeakyReLU -> neighbor max) within the eval fast paths' bf16
+    tolerance (rounding moves past the max)."""
+    import deltaconv_tpu.nn.deltaconv as dc
+    from deltaconv_tpu.nn.deltaconv import PointMaxMLP
+
+    n, c_out = 200, 24
+    pos, _, _, _, _, _, gd = _setup(rng, n, k=12)
+    x = jnp.asarray(rng.random((n, 24)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+
+    model = PointMaxMLP(c_out, dtype="bfloat16")
+    variables = model.init(jax.random.PRNGKey(0), x, gd, train=False)
+    stats = jax.tree.map(
+        lambda a: jnp.abs(jnp.asarray(
+            rng.standard_normal(a.shape).astype(np.float32))),
+        variables["batch_stats"])
+    params = jax.tree.map(
+        lambda a: jnp.asarray(
+            rng.standard_normal(a.shape).astype(np.float32)),
+        variables["params"])
+    variables = {"params": params, "batch_stats": stats}
+
+    want = model.apply(variables, x, gd, train=False)
+
+    monkeypatch.setattr(dc, "_FORCE_FUSED_INTERPRET", True)
+    got = model.apply(variables, x, gd, train=False)
+    monkeypatch.undo()
+
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=5e-2, atol=5e-2)
+
+
 def test_point_max_fused_train_matches_reference(rng, monkeypatch):
     """PointMaxMLP's commuted TRAIN branch (gather-then-matmul at C_in
     lanes + single-winner VJP, engaged on TPU when C_in is

@@ -276,6 +276,42 @@ def test_gather_max_bf16_cotangent_backward_exact_tpu(rng):
 
 
 @pytest.mark.skipif(not ON_TPU, reason="pallas kernels need a TPU")
+def test_gather_max_self_slot0_vjp_tpu(rng):
+    """gather_max's self_slot0 VJP path (direct self-row read forward,
+    direct-addressed slot-0 routing backward) matches the slot-0
+    one-hot path: identical forward values and gradients equal up to
+    f32 re-association of the per-row adds."""
+    from deltaconv_tpu.ops.gather_max import gather_max
+
+    b, n, k, c = 2, 256, 10, 16
+    h = jnp.asarray(rng.random((b, n, c)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    base = np.tile(np.arange(n, dtype=np.int32)[None, :, None],
+                   (b, 1, k))
+    base[..., 1:] = rng.integers(0, n, (b, n, k - 1))
+    idx = jnp.asarray(base)
+    mask = jnp.ones((b, n, k), bool)
+    ct = jnp.asarray(rng.random((b, n, c)).astype(np.float32)
+                     ).astype(jnp.bfloat16)
+
+    def loss(hh, slot0):
+        out = gather_max(hh, idx, mask, slot0)
+        return jnp.sum(out.astype(jnp.float32) * ct.astype(jnp.float32))
+
+    f_ref = jax.jit(lambda hh: (loss(hh, False),
+                                jax.grad(loss)(hh, False)))
+    f_s0 = jax.jit(lambda hh: (loss(hh, True),
+                               jax.grad(loss)(hh, True)))
+    l_ref, g_ref = f_ref(h)
+    l_s0, g_s0 = f_s0(h)
+    np.testing.assert_array_equal(np.asarray(l_ref, np.float32),
+                                  np.asarray(l_s0, np.float32))
+    np.testing.assert_allclose(np.asarray(g_s0, np.float32),
+                               np.asarray(g_ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.skipif(not ON_TPU, reason="pallas kernels need a TPU")
 @pytest.mark.parametrize("c", [64, 256])
 def test_gather_max_pallas_exact_under_jit_tpu(rng, c):
     from deltaconv_tpu.ops.gather_max import _pallas_fwd
@@ -489,6 +525,90 @@ def test_gather_matmul_max_interpret(rng):
         want = np.where(mk, yg, -3e38).max(axis=2)
         np.testing.assert_allclose(np.asarray(mx), want, rtol=1e-2,
                                    atol=1e-2)
+
+
+def _affine_vectors(rng, c):
+    """BN eval affine with a mix of positive and negative slopes."""
+    inv = jnp.asarray(rng.standard_normal(c).astype(np.float32))
+    sign = jnp.where(inv >= 0, 1.0, -1.0)
+    mean = jnp.asarray(rng.standard_normal(c).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal(c).astype(np.float32))
+    return sign, inv, mean, bias
+
+
+def _lrelu(x):
+    return jnp.where(x >= 0, x, 0.2 * x)
+
+
+def test_gather_max_affine_interpret(rng):
+    """The fused BN/LeakyReLU epilogue (EdgeMaxMLP eval form with the
+    self-row subtraction, and the plain form) is BIT-exact vs the
+    unfused kernel + the XLA epilogue it replaces
+    (nn/deltaconv.py:EdgeMaxMLP)."""
+    from deltaconv_tpu.ops.gather_max import gather_max_affine
+
+    b, n, k, c = 2, 100, 7, 24  # n % tile != 0: slot-0 self gather
+    h = jnp.asarray(rng.standard_normal((b, n, c)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    idx = jnp.asarray(rng.integers(0, n, (b, n, k)).astype(np.int32))
+    idx = idx.at[:, :, 0].set(jnp.arange(n)[None])
+    mask = jnp.asarray(rng.random((b, n, k)) > 0.2)
+    mask = mask.at[:, :, 0].set(True)
+    mask = mask.at[0, 3].set(False)  # an all-masked row
+    sign, inv, mean, bias = _affine_vectors(rng, c)
+    any_valid = jnp.any(mask, -1)[..., None]
+
+    # EdgeMaxMLP form: subtract the self row inside the sign fold.
+    mxp = masked_nbr_max(h, idx, mask, self_slot0=True)
+    h_star = sign * (mxp.astype(jnp.float32) - h.astype(jnp.float32))
+    ref = _lrelu((h_star - mean) * inv + bias)
+    ref = jnp.where(any_valid, ref, 0.0).astype(jnp.bfloat16)
+    got = jax.jit(lambda h: gather_max_affine(
+        h, idx, mask, (sign, inv, mean, bias), sub_self=True,
+        interpret=True))(h)
+    np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                  np.asarray(ref, np.float32))
+
+    # Plain form (no self subtraction).
+    y_star = sign * mxp.astype(jnp.float32)
+    ref2 = _lrelu((y_star - mean) * inv + bias)
+    ref2 = jnp.where(any_valid, ref2, 0.0).astype(jnp.bfloat16)
+    got2 = jax.jit(lambda h: gather_max_affine(
+        h, idx, mask, (sign, inv, mean, bias), sub_self=False,
+        interpret=True))(h)
+    np.testing.assert_array_equal(np.asarray(got2, np.float32),
+                                  np.asarray(ref2, np.float32))
+
+
+def test_gather_matmul_max_affine_interpret(rng):
+    """gather_matmul_max's fused epilogue (PointMaxMLP eval form) is
+    BIT-exact vs the same kernel without it + the XLA epilogue."""
+    from deltaconv_tpu.ops.gather_max import gather_matmul_max
+
+    b, n, k, ci, co = 2, 128, 7, 16, 24
+    x = jnp.asarray(rng.standard_normal((b, n, ci)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((ci, co)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    idx = jnp.asarray(rng.integers(0, n, (b, n, k)).astype(np.int32))
+    idx = idx.at[:, :, 0].set(jnp.arange(n)[None])
+    mask = jnp.asarray(rng.random((b, n, k)) > 0.2)
+    mask = mask.at[:, :, 0].set(True)
+    mask = mask.at[1, 5].set(False)
+    sign, inv, mean, bias = _affine_vectors(rng, co)
+    wp = (w.astype(jnp.float32) * sign[None, :]).astype(jnp.bfloat16)
+
+    mx = gather_matmul_max(x, wp, idx, mask, self_slot0=True,
+                           interpret=True)
+    y_star = sign * mx.astype(jnp.float32)
+    ref = _lrelu((y_star - mean) * inv + bias)
+    ref = jnp.where(jnp.any(mask, -1)[..., None], ref,
+                    0.0).astype(jnp.bfloat16)
+    got = jax.jit(lambda x: gather_matmul_max(
+        x, wp, idx, mask, self_slot0=True,
+        affine=(sign, inv, mean, bias), interpret=True))(x)
+    np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                  np.asarray(ref, np.float32))
 
 
 def test_gather_minmax_self_slot0_interpret(rng):
@@ -967,6 +1087,50 @@ def test_gather_mlp_max_interpret(rng):
                     atol=2e-2)
 
 
+def test_gather_mlp_max_z0_epilogue_interpret(rng):
+    """gather_mlp_max's fused self-slot merge + BN/LeakyReLU epilogue
+    is BIT-exact vs the plain kernel + the XLA tail it replaces
+    (nn/deltaconv.py DeepMaxMLP eval), for both z0 forms (constant
+    broadcast row / per-point rows)."""
+    from deltaconv_tpu.ops.gather_mlp_max import gather_mlp_max
+
+    cpu = jax.devices("cpu")[0]
+    b, n, k, ci, cm, co = 2, 100, 7, 16, 24, 32
+    x = jnp.asarray(rng.standard_normal((b, n, ci)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    ws = [jnp.asarray(rng.standard_normal((ci, cm)).astype(np.float32)),
+          jnp.asarray(rng.standard_normal((cm, co)).astype(np.float32))]
+    affines = [(jnp.asarray(rng.standard_normal(cm).astype(np.float32)),
+                jnp.asarray(rng.standard_normal(cm).astype(np.float32)))]
+    idx = jnp.asarray(rng.integers(0, n, (b, n, k)).astype(np.int32))
+    idx = idx.at[:, :, 0].set(jnp.arange(n)[None])
+    mask = jnp.asarray(rng.random((b, n, k)) > 0.2)
+    mask = mask.at[:, :, 0].set(True)
+    mask = mask.at[0, 7].set(False)  # an all-masked row
+    sign, inv, mean, bias = _affine_vectors(rng, co)
+
+    with jax.default_device(cpu):
+        for z0 in (jnp.asarray(rng.standard_normal(co).astype(np.float32)
+                               ).astype(jnp.bfloat16).astype(jnp.float32),
+                   jnp.asarray(rng.standard_normal((b, n, co)).astype(
+                       np.float32)).astype(jnp.bfloat16
+                                           ).astype(jnp.float32)):
+            m = jax.jit(lambda x, i, mk: gather_mlp_max(
+                x, ws, affines, i, mk, skip_slot0=True,
+                interpret=True))(x, idx, mask)
+            z0b = (jnp.broadcast_to(z0[None, None, :], m.shape)
+                   if z0.ndim == 1 else z0)
+            mm = jnp.maximum(m, jnp.where(mask[..., 0:1], z0b, -3.0e38))
+            ref = _lrelu((sign * mm - mean) * inv + bias)
+            ref = jnp.where(jnp.any(mask, -1)[..., None], ref,
+                            0.0).astype(jnp.bfloat16)
+            got = jax.jit(lambda x, i, mk: gather_mlp_max(
+                x, ws, affines, i, mk, skip_slot0=True, interpret=True,
+                z0=z0, epilogue=(sign, inv, mean, bias)))(x, idx, mask)
+            np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                          np.asarray(ref, np.float32))
+
+
 def test_knn_topk_table_interpret_matches_local_knn(rng):
     """The column-tiled table kNN kernel (the point-sharded local kNN
     on TPU) == the XLA `_local_knn` paths bit-for-bit: same score
@@ -1005,6 +1169,39 @@ def test_knn_topk_table_interpret_matches_local_knn(rng):
         np.testing.assert_array_equal(got4, ref4)
 
 
+def test_knn_topk_table_quantized_interpret(rng):
+    """The packed-key table kernel (the point-sharded analog of the
+    headline's ``knn_method="approx"``): self stays pinned to slot 0,
+    masked columns are never selected, rows have no duplicate winners,
+    and the winner sets match the exact kernel at >= 0.99 recall (the
+    per-tile 16-bit quantization can only swap near-ties)."""
+    import deltaconv_tpu.parallel.point_sharding as PS
+    from deltaconv_tpu.ops.knn_topk import knn_topk_table
+
+    cpu = jax.devices("cpu")[0]
+    n_t, n_q, k, off = 700, 300, 11, 150
+    pos_t = jnp.asarray(rng.standard_normal((n_t, 3)).astype(np.float32))
+    pos_q = pos_t[off:off + n_q]
+    pm = jnp.asarray(rng.random(n_t) > 0.3)
+    pm = pm.at[off:off + n_q].set(True)
+
+    with jax.default_device(cpu):
+        for mask in (None, pm):
+            ref = np.asarray(PS._local_knn(pos_q, pos_t, k, off, mask))
+            got = np.asarray(knn_topk_table(
+                pos_q, pos_t, k, row_offset=off, point_mask=mask,
+                tile_q=64, tile_c=96, interpret=True, quantized=True))
+            assert np.all(got[:, 0] == off + np.arange(n_q))
+            if mask is not None:
+                pmn = np.asarray(mask)
+                assert pmn[got.reshape(-1)].all()
+            hits = 0
+            for i in range(n_q):
+                assert len(set(got[i])) == k, f"row {i} duplicates"
+                hits += len(set(ref[i]) & set(got[i]))
+            assert hits / (n_q * k) >= 0.99
+
+
 @pytest.mark.tpu
 @pytest.mark.skipif(os.environ.get("DELTACONV_TEST_TPU") != "1",
                     reason="TPU kernel path (set DELTACONV_TEST_TPU=1)")
@@ -1030,6 +1227,17 @@ def test_knn_topk_table_tpu_set_equality(rng):
     assert np.all(got[:, 0] == off + np.arange(n_q))
     mismatch = sum(set(ref[i]) != set(got[i]) for i in range(n_q))
     assert mismatch == 0, f"{mismatch} rows differ as sets"
+
+    # Quantized packed-key variant (the point-shard bench path): self
+    # pinned, no duplicate winners, recall >= 0.995 vs the exact sets.
+    gotq = np.asarray(knn_topk_table(pos_q, pos_t, k, row_offset=off,
+                                     quantized=True))
+    assert np.all(gotq[:, 0] == off + np.arange(n_q))
+    hits = 0
+    for i in range(n_q):
+        assert len(set(gotq[i])) == k, f"row {i} duplicates"
+        hits += len(set(ref[i]) & set(gotq[i]))
+    assert hits / (n_q * k) >= 0.995
 
 
 def test_gather_mlp_max_three_layers_interpret(rng):
@@ -1126,3 +1334,22 @@ def test_gather_matmul_max_train_kernel(rng):
     scale = np.abs(dw_ref).max()
     np.testing.assert_allclose(np.asarray(dw, np.float32), dw_ref,
                                rtol=2e-2, atol=2e-2 * scale)
+
+    # self_slot0 variants: slot 0 reads its own rows in the forward
+    # and routes its cotangents by direct addressing in the backward —
+    # identical values/winners, dx/dw equal up to f32 re-association
+    # of the per-row adds.
+    out0, win0 = GM._mm_train_pallas_fwd(x, w, idx, mask, self0=True)
+    np.testing.assert_array_equal(np.asarray(out0, np.float32), want)
+    np.testing.assert_array_equal(np.asarray(win0), want_win)
+    _, vjp0 = jax.vjp(
+        lambda xx, ww: GM.gather_matmul_max_train(xx, ww, idx, mask,
+                                                  True),
+        x, w)
+    dx0, dw0 = vjp0(out.astype(jnp.bfloat16) * 0 + g)
+    np.testing.assert_allclose(np.asarray(dx0, np.float32),
+                               np.asarray(dx, np.float32),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dw0, np.float32),
+                               np.asarray(dw, np.float32),
+                               rtol=1e-5, atol=1e-5 * scale)
