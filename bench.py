@@ -179,10 +179,11 @@ def bench_train_step():
     return statistics.median(times)
 
 
-def bench_seg():
+def bench_seg(operator_dtype="bfloat16"):
     """Segmentation config (reference train_shapenet.py:180,79-89):
     N=2048, k=30, conv [64, 128, 256], mlp_depth 2, categorical head.
-    Returns eval clouds/s windows."""
+    Returns eval clouds/s windows. ``operator_dtype="int8"`` is the
+    opt-in quantized serving mode (accuracy-changing; PERF.md)."""
     import jax
     import jax.numpy as jnp
 
@@ -193,7 +194,7 @@ def bench_seg():
     model = DeltaNetSegmentation(
         num_classes=50, conv_channels=(64, 128, 256), mlp_depth=2,
         categorical_vector=True, num_neighbors=30,
-        dense_operators=True, operator_dtype="bfloat16",
+        dense_operators=True, operator_dtype=operator_dtype,
         compute_dtype="bfloat16", knn_method="approx",
     )
     batch = synthetic_classification_batch(0, b, n, 16)
@@ -211,16 +212,19 @@ def bench_seg():
         return model.apply(variables, pos, normal=normal, category=cat,
                            train=False)
 
-    for _ in range(4):
+    # The seg step is noisier than classification (PERF.md): longer
+    # warmup and 80-iter windows (fixed ~28 ms tunnel sync becomes
+    # <0.4 ms/step) with two extra windows for a stabler median.
+    for _ in range(8):
         out = forward(pos, normal, cat)
     jax.device_get(out)
     windows = []
-    for _ in range(NUM_WINDOWS):
+    for _ in range(NUM_WINDOWS + 2):
         t0 = time.perf_counter()
-        for _ in range(40):
+        for _ in range(80):
             out = forward(pos, normal, cat)
         jax.device_get(out)
-        windows.append(b * 40 / (time.perf_counter() - t0))
+        windows.append(b * 80 / (time.perf_counter() - t0))
     return windows
 
 
@@ -363,7 +367,7 @@ def bench_point_shard():
     model = DeltaNetClassification(
         num_classes=NUM_CLASSES, conv_channels=CONV_CHANNELS,
         num_neighbors=K, dense_operators=False,
-        compute_dtype="bfloat16",
+        compute_dtype="bfloat16", knn_method="approx",
     )
     # Parameter shapes are N-independent: init on a small cloud.
     small = synthetic_classification_batch(0, 1, 256, NUM_CLASSES)
@@ -401,6 +405,61 @@ def bench_point_shard():
     return n / sec, sec * 1000.0
 
 
+def bench_point_shard_train():
+    """Point-sharded TRAIN step at N=65,536 — training is the workload
+    the SP analog exists for (SURVEY §2.7/§5): ONE cloud sharded over
+    the attached chips, classification head, coefficient operators,
+    full fwd+bwd+update with cross-shard gradient completion
+    (parallel/point_sharding.point_sharded_train_step). The local kNN
+    runs the quantized packed-key tiled sweep (the headline's
+    ``knn_method="approx"`` trade at the sharded scale). Returns
+    (points/s, ms per step)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from deltaconv_tpu.data import synthetic_classification_batch
+    from deltaconv_tpu.models import DeltaNetClassification
+    from deltaconv_tpu.parallel.point_sharding import (
+        point_sharded_train_step,
+    )
+    from deltaconv_tpu.training import create_train_state, sgd_momentum
+
+    n = 65536
+    model = DeltaNetClassification(
+        num_classes=NUM_CLASSES, conv_channels=CONV_CHANNELS,
+        num_neighbors=K, dense_operators=False,
+        compute_dtype="bfloat16", knn_method="approx",
+    )
+    small = synthetic_classification_batch(0, 1, 256, NUM_CLASSES)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), (jnp.asarray(small["pos"][0]),),
+        sgd_momentum(0.01),
+        init_kwargs={"normal": jnp.asarray(small["normal"][0])},
+    )
+
+    batch = synthetic_classification_batch(1, 1, n, NUM_CLASSES)
+    pos = jnp.asarray(batch["pos"][0])
+    normal = jnp.asarray(batch["normal"][0])
+    label = jnp.asarray(batch["label"][0])
+    mesh = Mesh(jax.devices(), ("points",))
+    step = jax.jit(point_sharded_train_step(mesh, model))
+
+    rng = jax.random.PRNGKey(1)
+    for _ in range(2):
+        state, metrics = step(state, pos, normal, label, rng)
+    jax.device_get(metrics["loss"])
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(3):
+            state, metrics = step(state, pos, normal, label, rng)
+        jax.device_get(metrics["loss"])
+        times.append((time.perf_counter() - t0) / 3)
+    sec = statistics.median(times)
+    return n / sec, sec * 1000.0
+
+
 def _bounded_submetric(flag, key, timeout=900):
     """Run ``bench.py <flag>`` in a bounded subprocess and pull ``key``
     from its JSON line; ``None`` on any failure (a degraded compile
@@ -427,6 +486,7 @@ def main():
 
     train_step_ms = None
     int8_clouds_per_sec = None
+    seg_int8_clouds_per_sec = None
     seg_clouds_per_sec = None
     if os.environ.get("DELTACONV_BENCH_SKIP_TRAIN") != "1":
         train_step_ms = _bounded_submetric("--train-step", "train_step_ms")
@@ -440,6 +500,10 @@ def main():
         # config) — the other half of the reference's capability
         # surface, benched at its own shapes.
         seg_clouds_per_sec = _bounded_submetric("--mode=seg", "value")
+        # ...and its int8 quantized serving form (like --mode=int8 for
+        # the classification config).
+        seg_int8_clouds_per_sec = _bounded_submetric(
+            "--mode=seg-int8", "value")
     seg_train_step_ms = None
     if os.environ.get("DELTACONV_BENCH_SKIP_SEG_TRAIN") != "1":
         # Training is the reference's primary workload; the seg config
@@ -447,11 +511,16 @@ def main():
         seg_train_step_ms = _bounded_submetric(
             "--mode=seg-train", "seg_train_step_ms")
     point_shard_points_per_sec = None
+    point_shard_train_points_per_sec = None
     if os.environ.get("DELTACONV_BENCH_SKIP_PS") != "1":
         # Large-N point sharding (SP analog): one 65,536-pt cloud over
         # a mesh of the attached chips, tiled local kNN.
         point_shard_points_per_sec = _bounded_submetric(
             "--mode=point-shard", "value")
+        # ...and the TRAIN step at the same scale — training is the
+        # workload point sharding exists for.
+        point_shard_train_points_per_sec = _bounded_submetric(
+            "--mode=point-shard-train", "value")
 
     print(json.dumps({
         "metric": "clouds/sec (operator build + forward, 1024 pts, k=20, "
@@ -466,8 +535,11 @@ def main():
                           if train_step_ms is not None else None),
         "int8_serving_clouds_per_sec": int8_clouds_per_sec,
         "seg_clouds_per_sec": seg_clouds_per_sec,
+        "seg_int8_clouds_per_sec": seg_int8_clouds_per_sec,
         "seg_train_step_ms": seg_train_step_ms,
         "point_shard_points_per_sec": point_shard_points_per_sec,
+        "point_shard_train_points_per_sec":
+            point_shard_train_points_per_sec,
         # Same-host measured anchor (BASELINE.md): the EXECUTED
         # reference implementation at this exact config on this host's
         # CPU (tools/bench_reference.py).
@@ -509,6 +581,20 @@ if __name__ == "__main__":
             "unit": "ms",
             "clouds_per_sec": round(16 / (ms / 1000.0), 1),
         }))
+    elif "--mode=seg-int8" in sys.argv:
+        # Seg analog of --mode=int8: int8 dense operators (byte-packed
+        # densify, s8 applies) under the bf16 fused conv stack.
+        # Accuracy-changing like the classification int8 mode.
+        _enable_compile_cache()
+        w = bench_seg(operator_dtype="int8")
+        print(json.dumps({
+            "metric": "clouds/sec (seg eval, int8 quantized operators, "
+                      "2048 pts, k=30, conv [64,128,256] depth 2, "
+                      "batch 16)",
+            "value": round(statistics.median(w), 1),
+            "unit": "clouds/sec",
+            "windows": [round(x, 1) for x in w],
+        }))
     elif "--mode=int8" in sys.argv:
         # Opt-in quantized serving form (geometry/dense.py int8 path):
         # accuracy-changing (8-bit operators + activations; logit
@@ -533,6 +619,17 @@ if __name__ == "__main__":
             "value": round(pps, 1),
             "unit": "points/sec",
             "ms_per_cloud": round(ms, 2),
+        }))
+    elif "--mode=point-shard-train" in sys.argv:
+        _enable_compile_cache()
+        pps, ms = bench_point_shard_train()
+        print(json.dumps({
+            "metric": "points/sec (point-sharded TRAIN step, ONE "
+                      "65536-pt cloud, k=20, quantized tiled local "
+                      "kNN, coefficient operators)",
+            "value": round(pps, 1),
+            "unit": "points/sec",
+            "ms_per_step": round(ms, 2),
         }))
     elif "--mode=large-train" in sys.argv:
         _enable_compile_cache()

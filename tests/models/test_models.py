@@ -181,6 +181,38 @@ def test_end_to_end_training_slice():
     assert logits.shape == (8, CLASSES)
 
 
+def test_seg_int8_operator_mode_logit_parity_cpu(rng):
+    """Segmentation analog of the int8 serving-mode parity check
+    (bench.py --mode=seg-int8): quantized operators track the exact
+    path within 1% of the logit scale with near-identical per-point
+    argmax on the synthetic batch."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deltaconv_tpu.data import synthetic_classification_batch
+    from deltaconv_tpu.models import DeltaNetSegmentation
+
+    batch = synthetic_classification_batch(0, 2, 256, 8)
+    pos, nrm = jnp.asarray(batch["pos"]), jnp.asarray(batch["normal"])
+    cat = jnp.eye(16)[jnp.asarray(batch["label"]) % 16]
+    kw = dict(num_classes=8, conv_channels=(16, 16, 32), mlp_depth=2,
+              categorical_vector=True, num_neighbors=12,
+              dense_operators=True)
+    m32 = DeltaNetSegmentation(**kw)
+    m8 = DeltaNetSegmentation(**kw, operator_dtype="int8")
+    variables = m32.init(jax.random.PRNGKey(0), pos, normal=nrm,
+                         category=cat, train=False)
+    l32 = np.asarray(m32.apply(variables, pos, normal=nrm, category=cat,
+                               train=False))
+    l8 = np.asarray(m8.apply(variables, pos, normal=nrm, category=cat,
+                             train=False))
+    scale = np.abs(l32).max()
+    assert np.abs(l8 - l32).max() < 0.01 * scale
+    agree = (np.argmax(l8, -1) == np.argmax(l32, -1)).mean()
+    assert agree >= 0.995, agree
+
+
 def test_int8_operator_mode_logit_parity_cpu(rng):
     """CPU (XLA-fallback) variant of the int8 serving-mode parity
     check in test_tpu_paths.py: quantized operators + quantized
