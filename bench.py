@@ -515,12 +515,15 @@ def main():
     if os.environ.get("DELTACONV_BENCH_SKIP_PS") != "1":
         # Large-N point sharding (SP analog): one 65,536-pt cloud over
         # a mesh of the attached chips, tiled local kNN.
+        # Longer bound: the 65k-point shard_map programs compile in
+        # 200-900 s when the compile service is degraded (observed
+        # 2026-08-20); the persistent cache makes reruns fast.
         point_shard_points_per_sec = _bounded_submetric(
-            "--mode=point-shard", "value")
+            "--mode=point-shard", "value", timeout=1400)
         # ...and the TRAIN step at the same scale — training is the
         # workload point sharding exists for.
         point_shard_train_points_per_sec = _bounded_submetric(
-            "--mode=point-shard-train", "value")
+            "--mode=point-shard-train", "value", timeout=1400)
 
     print(json.dumps({
         "metric": "clouds/sec (operator build + forward, 1024 pts, k=20, "
