@@ -49,6 +49,21 @@ def _pad_to(x, multiple, axis):
     return jnp.pad(x, widths)
 
 
+def _per_t_bytes(k, n, cw):
+    """VMEM bytes per point-tile row. Wide applies: the proven
+    one-hot + 12·cw estimate (large-N configs measured fine at their
+    tiles). NARROW applies (the grad-of-positions C=3 -> cw=6): the
+    f32 temps pad to 128 LANES and the one-hot's concat copy is not
+    elided, so the old estimate undercounted ~3.5x and OOMed scoped
+    vmem at B=32, N=1024, tile=128 (observed 18.94M vs the 16M limit,
+    2026-08-20) — count the one-hot twice plus lane-padded temps,
+    which drops the tile to 64 there."""
+    lanes = -(-cw // 128) * 128
+    if 12 * cw >= 8 * lanes:
+        return k * (2 * n + 12 * cw)
+    return k * (4 * n + 8 * lanes)
+
+
 def _grad_kernel(idx_ref, w_ref, hilo_ref, out_ref, *, k, n, paired):
     t = idx_ref.shape[1]
     c = hilo_ref.shape[2] // (2 if paired else 1)
@@ -104,7 +119,7 @@ def _grad_fwd_pallas(x, coef, idx, tile, interpret):
     k = idx.shape[-1]
     hilo, paired = split_hilo(x)
     cw = hilo.shape[-1]
-    tile = fit_tile(tile, k * (2 * n + 12 * cw))
+    tile = fit_tile(tile, _per_t_bytes(k, n, cw))
     idx_p = _pad_to(idx.astype(jnp.int32), tile, 1)
     coef_p = _pad_to(coef.astype(jnp.float32), tile, 1)
     n_pad = idx_p.shape[1]
@@ -137,7 +152,7 @@ def _div_fwd_pallas(v, coef, idx, tile, interpret):
     flat = v.reshape(b, n, 2 * c)
     hilo, paired = split_hilo(flat)
     cw = hilo.shape[-1]
-    tile = fit_tile(tile, k * (2 * n + 12 * cw))
+    tile = fit_tile(tile, _per_t_bytes(k, n, cw))
     idx_p = _pad_to(idx.astype(jnp.int32), tile, 1)
     coef_p = _pad_to(coef.astype(jnp.float32), tile, 1)
     n_pad = idx_p.shape[1]
