@@ -170,31 +170,56 @@ class ShardedGradDiv:
     def _full(self, h):
         return jax.lax.all_gather(h, self.axis, axis=0, tiled=True)
 
+    def _coef_contract(self, coef, g, pattern):
+        """Contract the f32 coefficient tables with gathered per-edge
+        features WITHOUT materializing an f32 copy of the edge tensor
+        — at N=65,536 the edge tensors are GB-scale and the promote
+        convert alone traced at 13 ms/step (2026-08-20 op trace).
+        bf16 features contract against an exact hi/lo bf16 split of
+        the coefficients: both products are exact in the f32
+        accumulator and only their final add rounds (≤0.5 ulp vs the
+        f32×f32 reference; test tolerance 2e-4)."""
+        if g.dtype == jnp.bfloat16:
+            hi = jax.lax.optimization_barrier(
+                coef.astype(jnp.bfloat16))
+            lo = (coef - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            return (jnp.einsum(pattern, hi, g,
+                               preferred_element_type=jnp.float32)
+                    + jnp.einsum(pattern, lo, g,
+                                 preferred_element_type=jnp.float32))
+        return jnp.einsum(pattern, coef, g,
+                          precision=jax.lax.Precision.HIGHEST)
+
     def grad(self, x):
-        xg = self._full(x)[self.nbr_idx]  # [n_l, K, C]
-        return jnp.einsum("nkd,nkc->ndc", self.local.grad_coef, xg,
-                          precision=jax.lax.Precision.HIGHEST
-                          ).astype(x.dtype)
+        xg = self._full(x)[self.nbr_idx]  # [n_l, K, C], x's dtype
+        return self._coef_contract(self.local.grad_coef, xg,
+                                   "nkd,nkc->ndc").astype(x.dtype)
 
     def div(self, v):
         vg = self._full(v)[self.nbr_idx]  # [n_l, K, 2, C]
-        return jnp.einsum("nkd,nkdc->nc", self.local.div_coef, vg,
-                          precision=jax.lax.Precision.HIGHEST
-                          ).astype(v.dtype)
+        return self._coef_contract(self.local.div_coef, vg,
+                                   "nkd,nkdc->nc").astype(v.dtype)
 
     def _gathered(self, table):
-        """Indexes an already-FULL table into masked-ready f32
-        neighbor values ``[n_l, K, C]`` (callers that hold the full
-        table must NOT route through :meth:`_full` again — a D-fold
-        buffer blow-up)."""
-        return table[self.nbr_idx].astype(jnp.float32)
+        """Indexes an already-FULL table into masked-ready neighbor
+        values ``[n_l, K, C]`` (callers that hold the full table must
+        NOT route through :meth:`_full` again — a D-fold buffer
+        blow-up). bf16 tables gather as bf16 — the cast to f32 is
+        value-preserving, so max/min results are identical while the
+        materialized edge tensor halves."""
+        g = table[self.nbr_idx]
+        return g if g.dtype == jnp.bfloat16 else g.astype(jnp.float32)
 
     def _max_of(self, g):
-        return jnp.max(jnp.where(self.nbr_mask[..., None], g, _NEG),
+        # dtype-matched sentinel: a Python-float -3e38 would promote
+        # the whole bf16 edge tensor back to f32.
+        neg = jnp.asarray(_NEG, g.dtype)
+        return jnp.max(jnp.where(self.nbr_mask[..., None], g, neg),
                        axis=-2)
 
     def _min_of(self, g):
-        return jnp.min(jnp.where(self.nbr_mask[..., None], g, -_NEG),
+        pos = jnp.asarray(-_NEG, g.dtype)
+        return jnp.min(jnp.where(self.nbr_mask[..., None], g, pos),
                        axis=-2)
 
     def _matmul_full(self, x, w):

@@ -58,7 +58,7 @@ def report(outdir, top=60):
             continue
         name = e.get("name", "")
         dur = e.get("dur", 0) / 1e3 / STEPS
-        if name.startswith("jit_forward"):
+        if name.startswith("jit_"):  # whole-module spans (any jit name)
             module += dur
             continue
         tot[name] += dur
