@@ -544,9 +544,12 @@ def test_gather_max_affine_interpret(rng):
     """The fused BN/LeakyReLU epilogue (EdgeMaxMLP eval form with the
     self-row subtraction, and the plain form) is BIT-exact vs the
     unfused kernel + the XLA epilogue it replaces
-    (nn/deltaconv.py:EdgeMaxMLP)."""
+    (nn/deltaconv.py:EdgeMaxMLP). CPU-pinned: the interpret
+    surrogate's bf16 round-trips are elided by the TPU XLA pipeline
+    (see test_gather_mlp_max_interpret)."""
     from deltaconv_tpu.ops.gather_max import gather_max_affine
 
+    cpu = jax.devices("cpu")[0]
     b, n, k, c = 2, 100, 7, 24  # n % tile != 0: slot-0 self gather
     h = jnp.asarray(rng.standard_normal((b, n, c)).astype(np.float32)
                     ).astype(jnp.bfloat16)
@@ -558,33 +561,38 @@ def test_gather_max_affine_interpret(rng):
     sign, inv, mean, bias = _affine_vectors(rng, c)
     any_valid = jnp.any(mask, -1)[..., None]
 
-    # EdgeMaxMLP form: subtract the self row inside the sign fold.
-    mxp = masked_nbr_max(h, idx, mask, self_slot0=True)
-    h_star = sign * (mxp.astype(jnp.float32) - h.astype(jnp.float32))
-    ref = _lrelu((h_star - mean) * inv + bias)
-    ref = jnp.where(any_valid, ref, 0.0).astype(jnp.bfloat16)
-    got = jax.jit(lambda h: gather_max_affine(
-        h, idx, mask, (sign, inv, mean, bias), sub_self=True,
-        interpret=True))(h)
-    np.testing.assert_array_equal(np.asarray(got, np.float32),
-                                  np.asarray(ref, np.float32))
+    with jax.default_device(cpu):
+        # EdgeMaxMLP form: subtract the self row inside the sign fold.
+        mxp = masked_nbr_max(h, idx, mask, self_slot0=True)
+        h_star = sign * (mxp.astype(jnp.float32)
+                         - h.astype(jnp.float32))
+        ref = _lrelu((h_star - mean) * inv + bias)
+        ref = jnp.where(any_valid, ref, 0.0).astype(jnp.bfloat16)
+        got = jax.jit(lambda h: gather_max_affine(
+            h, idx, mask, (sign, inv, mean, bias), sub_self=True,
+            interpret=True))(h)
+        np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                      np.asarray(ref, np.float32))
 
-    # Plain form (no self subtraction).
-    y_star = sign * mxp.astype(jnp.float32)
-    ref2 = _lrelu((y_star - mean) * inv + bias)
-    ref2 = jnp.where(any_valid, ref2, 0.0).astype(jnp.bfloat16)
-    got2 = jax.jit(lambda h: gather_max_affine(
-        h, idx, mask, (sign, inv, mean, bias), sub_self=False,
-        interpret=True))(h)
-    np.testing.assert_array_equal(np.asarray(got2, np.float32),
-                                  np.asarray(ref2, np.float32))
+        # Plain form (no self subtraction).
+        y_star = sign * mxp.astype(jnp.float32)
+        ref2 = _lrelu((y_star - mean) * inv + bias)
+        ref2 = jnp.where(any_valid, ref2, 0.0).astype(jnp.bfloat16)
+        got2 = jax.jit(lambda h: gather_max_affine(
+            h, idx, mask, (sign, inv, mean, bias), sub_self=False,
+            interpret=True))(h)
+        np.testing.assert_array_equal(np.asarray(got2, np.float32),
+                                      np.asarray(ref2, np.float32))
 
 
 def test_gather_matmul_max_affine_interpret(rng):
     """gather_matmul_max's fused epilogue (PointMaxMLP eval form) is
-    BIT-exact vs the same kernel without it + the XLA epilogue."""
+    BIT-exact vs the same kernel without it + the XLA epilogue.
+    CPU-pinned: the interpret surrogate's bf16 round-trips are elided
+    by the TPU XLA pipeline (see test_gather_mlp_max_interpret)."""
     from deltaconv_tpu.ops.gather_max import gather_matmul_max
 
+    cpu = jax.devices("cpu")[0]
     b, n, k, ci, co = 2, 128, 7, 16, 24
     x = jnp.asarray(rng.standard_normal((b, n, ci)).astype(np.float32)
                     ).astype(jnp.bfloat16)
@@ -598,17 +606,18 @@ def test_gather_matmul_max_affine_interpret(rng):
     sign, inv, mean, bias = _affine_vectors(rng, co)
     wp = (w.astype(jnp.float32) * sign[None, :]).astype(jnp.bfloat16)
 
-    mx = gather_matmul_max(x, wp, idx, mask, self_slot0=True,
-                           interpret=True)
-    y_star = sign * mx.astype(jnp.float32)
-    ref = _lrelu((y_star - mean) * inv + bias)
-    ref = jnp.where(jnp.any(mask, -1)[..., None], ref,
-                    0.0).astype(jnp.bfloat16)
-    got = jax.jit(lambda x: gather_matmul_max(
-        x, wp, idx, mask, self_slot0=True,
-        affine=(sign, inv, mean, bias), interpret=True))(x)
-    np.testing.assert_array_equal(np.asarray(got, np.float32),
-                                  np.asarray(ref, np.float32))
+    with jax.default_device(cpu):
+        mx = gather_matmul_max(x, wp, idx, mask, self_slot0=True,
+                               interpret=True)
+        y_star = sign * mx.astype(jnp.float32)
+        ref = _lrelu((y_star - mean) * inv + bias)
+        ref = jnp.where(jnp.any(mask, -1)[..., None], ref,
+                        0.0).astype(jnp.bfloat16)
+        got = jax.jit(lambda x: gather_matmul_max(
+            x, wp, idx, mask, self_slot0=True,
+            affine=(sign, inv, mean, bias), interpret=True))(x)
+        np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                      np.asarray(ref, np.float32))
 
 
 def test_gather_minmax_self_slot0_interpret(rng):
