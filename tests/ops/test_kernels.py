@@ -563,7 +563,14 @@ def test_gather_max_affine_interpret(rng):
 
     with jax.default_device(cpu):
         # EdgeMaxMLP form: subtract the self row inside the sign fold.
-        mxp = masked_nbr_max(h, idx, mask, self_slot0=True)
+        # Reference max inlined (masked_nbr_max backend-dispatches to
+        # the non-interpret kernel in TPU mode): masked max over
+        # gathered bf16 rows, all-masked rows -> 0, bf16 output.
+        gathered = jax.vmap(lambda a, i: a[i])(h, idx)
+        mx32 = jnp.max(jnp.where(mask[..., None],
+                                 gathered.astype(jnp.float32), -3.0e38),
+                       axis=-2)
+        mxp = jnp.where(any_valid, mx32, 0.0).astype(jnp.bfloat16)
         h_star = sign * (mxp.astype(jnp.float32)
                          - h.astype(jnp.float32))
         ref = _lrelu((h_star - mean) * inv + bias)
