@@ -44,6 +44,21 @@ _FORCE_FUSED_TRAIN = False
 _FORCE_EPILOGUE_OFF = False
 
 
+def _epilogue_fusible(gd, dt, train):
+    """ONE definition of when the eval BN/LeakyReLU epilogue may run
+    inside a gather kernel (all three conv call sites gate on this):
+    eval only, bf16 activations, an operator object exposing the
+    affine kernels (ShardedGradDiv does not), not the int8 serving
+    path (its epilogue stays in XLA), on TPU or under the interpret
+    test hook."""
+    return (not train and dt == jnp.bfloat16
+            and not _FORCE_EPILOGUE_OFF
+            and not getattr(gd, "_int8", False)
+            and hasattr(gd, "nbr_max_affine")
+            and (jax.default_backend() == "tpu"
+                 or _FORCE_FUSED_INTERPRET))
+
+
 def gather_neighbors(x, nbr_idx):
     """Gather per-neighbor features: ``x[..., N, C], idx[..., N, K] ->
     [..., N, K, C]`` with any number of leading batch axes."""
@@ -208,13 +223,7 @@ class EdgeMaxMLP(lnn.Module):
             self.out_channels, mean, var, train)
         sign = jnp.where(inv >= 0, 1.0, -1.0)
         yp = (y * sign).astype(dt)  # bf16 kernels run single-pass
-        fused_epi = (not train and dt == jnp.bfloat16
-                     and not _FORCE_EPILOGUE_OFF
-                     and not getattr(gd, "_int8", False)
-                     and hasattr(gd, "nbr_max_affine")
-                     and (jax.default_backend() == "tpu"
-                          or _FORCE_FUSED_INTERPRET))
-        if fused_epi:
+        if _epilogue_fusible(gd, dt, train):
             # Eval: the whole epilogue (self-subtract, sign fold, BN
             # affine, LeakyReLU, padded-row zeroing) runs inside the
             # gather kernel — bit-exact vs the XLA epilogue below.
@@ -292,10 +301,7 @@ class PointMaxMLP(lnn.Module):
                 self.out_channels, None, None, False)
             sign = jnp.where(inv >= 0, 1.0, -1.0)
             wp = (w * sign[None, :]).astype(dt)
-            fused_epi = (not _FORCE_EPILOGUE_OFF
-                         and not getattr(gd, "_int8", False)
-                         and hasattr(gd, "nbr_max_affine"))
-            if fused_epi:
+            if _epilogue_fusible(gd, dt, train):
                 # The BN/LeakyReLU epilogue runs inside the gather
                 # kernel (bit-exact vs the XLA epilogue below).
                 out = gd.nbr_matmul_max(
@@ -342,13 +348,7 @@ class PointMaxMLP(lnn.Module):
             any_valid = jnp.any(gd.nbr_mask, axis=-1)[..., None]
             out = jnp.where(any_valid, out, 0.0).astype(dt)
         else:
-            fused_epi = (not train and dt == jnp.bfloat16
-                         and not _FORCE_EPILOGUE_OFF
-                         and not getattr(gd, "_int8", False)
-                         and hasattr(gd, "nbr_max_affine")
-                         and (jax.default_backend() == "tpu"
-                              or _FORCE_FUSED_INTERPRET))
-            if fused_epi:
+            if _epilogue_fusible(gd, dt, train):
                 # Eval, equal-lane case (gather-after-MLP): commute the
                 # monotone BN+LeakyReLU through the max by sign folding
                 # so the epilogue runs once per POINT inside the gather
@@ -467,6 +467,10 @@ class DeepMaxMLP(lnn.Module):
             if not _FORCE_EPILOGUE_OFF:
                 # The self-slot merge AND the BN/LeakyReLU epilogue run
                 # inside the kernel — bit-exact vs the XLA tail below.
+                # Deliberately NOT _epilogue_fusible: the enclosing
+                # `fused` gate already pins eval/bf16/backend, and this
+                # kernel stays engaged under int8 OPERATORS (the int8
+                # trade lives in the operator applies, not here).
                 m = gather_mlp_max(xb.astype(dt), ws, affines, idx,
                                    mask, centralized=self.centralized,
                                    skip_slot0=True, interpret=interpret,

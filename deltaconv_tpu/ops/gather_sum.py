@@ -17,12 +17,13 @@ BatchNorm statistics over edge populations without materializing the
 The VJP w.r.t. ``h`` is the transposed adjacency matmul (a second
 Pallas kernel accumulating over point tiles).
 
-At headline sizes (``N <= _DENSE_ADJ_MAX_N``) the adjacency counts are
-MATERIALIZED once as a ``[B, N, N]`` bf16 matrix instead: the per-k
-select-accumulate — not the MXU product — dominates the streaming
-kernels, and one build serves both the forward matmul and the
-transposed VJP matmul (no backward rebuild). Larger clouds keep the
-streaming kernels' O(N*K) memory.
+At headline sizes (``B * N * N * 2 <= _DENSE_ADJ_MAX_BYTES``, see
+``_dense_path_ok``) the adjacency counts are MATERIALIZED once as a
+``[B, N, N]`` bf16 matrix instead: the per-k select-accumulate — not
+the MXU product — dominates the streaming kernels, and one build
+serves both the forward matmul and the transposed VJP matmul (no
+backward rebuild). Larger batch*cloud products keep the streaming
+kernels' O(N*K) memory.
 """
 
 from __future__ import annotations

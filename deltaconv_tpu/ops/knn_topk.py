@@ -185,13 +185,19 @@ def _table_kernel_q(rows_ref, posq_ref, sqq_ref, post_ref, sqt_ref,
     back to f32 and merge with the running cross-tile top-k scratch
     via k exact sweeps over the tiny ``[T, 2k]`` pair block.
 
-    Ordering changes only for score gaps below tile-range/65534
+    Ordering changes only for score gaps below tile-range/65533
     (recall ~0.999 on random clouds — same granularity argument as
     ``_kernel_q``); ties at quantized equality break to the lowest
     LOCAL column within a tile and the lowest GLOBAL column across
     tiles. The self column is pinned to slot 0 via the 0x7FFF score
-    bits within its tile and a +2*BIG dequantized score across tiles;
-    masked/padded columns never win while k <= #valid points."""
+    bits within its tile and a +2*BIG dequantized score across tiles.
+    Masked/padded columns are selectable FILLERS ranked below every
+    valid score (quantized slot 0 in-tile, -2*BIG across tiles — the
+    exact kernel's convention), so rows with fewer than k valid
+    columns emit DISTINCT masked columns in lowest-index order
+    instead of duplicating already-picked winners; the cross-tile
+    kill also neutralizes the killed entry's INDEX so exhausted rows
+    can only fall back to the n_t empty marker."""
     ic = pl.program_id(1)
 
     @pl.when(ic == 0)
@@ -219,13 +225,18 @@ def _table_kernel_q(rows_ref, posq_ref, sqq_ref, post_ref, sqt_ref,
     rmax = jnp.max(s_v, axis=1, keepdims=True)
     rmin = jnp.where(jnp.isfinite(rmin), rmin, 0.0)
     rmax = jnp.where(jnp.isfinite(rmax), rmax, 0.0)
-    scale = 65534.0 / jnp.maximum(rmax - rmin, 1e-30)
-    qs = ((s - rmin) * scale).astype(jnp.int32)  # 0..65534 when valid
+    scale = 65533.0 / jnp.maximum(rmax - rmin, 1e-30)
+    # Valid scores quantize to 1..65534 — slot 0 is reserved for the
+    # masked-column FILLERS (ranked below every valid candidate, like
+    # the exact kernel's -2*BIG), 0x7FFF for the self column.
+    qs = jnp.clip(((s - rmin) * scale).astype(jnp.int32) + 1, 1, 65534)
     packed = ((qs - 32768) << 16) | (jnp.int32(65535) - lcol)
     packed = jnp.where(is_self,
                        jnp.int32(0x7FFF0000) | (jnp.int32(65535) - lcol),
                        packed)
-    packed = jnp.where(valid | is_self, packed, jnp.int32(-2147483648))
+    packed = jnp.where(
+        valid | is_self, packed,
+        (jnp.int32(-32768) << 16) | (jnp.int32(65535) - lcol))
 
     tile_s, tile_i = [], []
     for _ in range(k):
@@ -234,10 +245,12 @@ def _table_kernel_q(rows_ref, posq_ref, sqq_ref, post_ref, sqt_ref,
                            packed)
         win_l = jnp.int32(65535) - (best & jnp.int32(65535))
         qb = (best >> 16) + 32768
-        st = rmin + qb.astype(jnp.float32) / scale
-        # Self keeps its +2*BIG rank across tiles; exhausted tiles
-        # (best == sentinel) revert to the empty-slot marker.
+        st = rmin + (qb - 1).astype(jnp.float32) / scale
+        # Self keeps its +2*BIG rank across tiles; masked fillers
+        # (slot 0) the exact kernel's -2*BIG; exhausted tiles (best ==
+        # sentinel) revert to the empty-slot marker.
         st = jnp.where(qb == 65535, 2.0 * _BIG, st)
+        st = jnp.where(qb == 0, -2.0 * _BIG, st)
         empty = best == jnp.int32(-2147483648)
         tile_s.append(jnp.where(empty, -3.0e38, st))
         tile_i.append(jnp.where(empty, n_t, ic * tile_c + win_l))
@@ -252,7 +265,12 @@ def _table_kernel_q(rows_ref, posq_ref, sqq_ref, post_ref, sqt_ref,
                       keepdims=True)
         new_s.append(best)
         new_i.append(win)
-        s_aug = jnp.where(i_aug == win, -3.0e38, s_aug)
+        # Kill score AND index: a killed entry must never be re-picked
+        # via a -3e38 tie (the duplicate-winner hazard the exact
+        # kernel avoids by construction).
+        killed = i_aug == win
+        s_aug = jnp.where(killed, -3.0e38, s_aug)
+        i_aug = jnp.where(killed, n_t, i_aug)
     bs_ref[...] = jnp.concatenate(new_s, axis=1)
     bi_ref[...] = jnp.concatenate(new_i, axis=1)
 

@@ -175,10 +175,12 @@ class ShardedGradDiv:
         features WITHOUT materializing an f32 copy of the edge tensor
         — at N=65,536 the edge tensors are GB-scale and the promote
         convert alone traced at 13 ms/step (2026-08-20 op trace).
-        bf16 features contract against an exact hi/lo bf16 split of
-        the coefficients: both products are exact in the f32
-        accumulator and only their final add rounds (≤0.5 ulp vs the
-        f32×f32 reference; test tolerance 2e-4)."""
+        bf16 features contract against a hi/lo bf16 split of the
+        coefficients: hi+lo carries ~2^-17 relative representation
+        error vs f32's 2^-24 (each bf16 half keeps 8 mantissa bits),
+        and each bf16*bf16 product is exact in the f32 accumulator —
+        ~1e-5 relative vs the f32*f32 reference plus the usual K-sum
+        reassociation, well inside the suite's 2e-4 tolerance."""
         if g.dtype == jnp.bfloat16:
             hi = jax.lax.optimization_barrier(
                 coef.astype(jnp.bfloat16))

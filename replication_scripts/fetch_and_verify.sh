@@ -64,9 +64,19 @@ run_pretrained_evals() {
 if [ "${1:-}" != "--offline" ] && have_network; then
   echo "network available: fetching release weights + running the"
   echo "pretrained evaluations (paper Tables 1-4 + supplement)."
-  fetch_weights
-  run_pretrained_evals
-  echo "fetch_and_verify: ONLINE replication complete"
+  # Partial failures are EXPECTED (e.g. ScanObjectNN's dataset needs a
+  # manual download) — run every leg, then report the combined status
+  # instead of letting set -e abort on the first miss.
+  status=0
+  fetch_weights || status=1
+  run_pretrained_evals || status=1
+  if [ "$status" -eq 0 ]; then
+    echo "fetch_and_verify: ONLINE replication complete"
+  else
+    echo "fetch_and_verify: ONLINE replication finished WITH WARNINGS" \
+         "(see above; rerun after resolving the missing pieces)" >&2
+  fi
+  exit "$status"
 else
   echo "no network (or --offline): rehearsing the pretrained-eval"
   echo "code path on synthesized fixtures."

@@ -1217,6 +1217,27 @@ def test_knn_topk_table_quantized_interpret(rng):
                 hits += len(set(ref[i]) & set(got[i]))
             assert hits / (n_q * k) >= 0.99
 
+        # Degenerate rows (< k valid columns): like the exact kernel,
+        # the quantized one must fill with DISTINCT masked columns in
+        # ascending order — never duplicate an already-picked winner
+        # (the round-4 review repro: 5 valid, k=11 emitted [.. 0 0 0]).
+        n_valid, kq, nq2 = 5, 11, 4
+        pm_few = np.zeros(n_t, bool)
+        pm_few[:n_valid] = True
+        with jax.default_device(cpu):
+            got = np.asarray(knn_topk_table(
+                pos_t[:nq2], pos_t, kq, row_offset=0,
+                point_mask=jnp.asarray(pm_few), tile_q=64, tile_c=96,
+                interpret=True, quantized=True))
+        for i in range(nq2):
+            row = got[i]
+            assert len(set(row)) == kq, f"degenerate row {i}: {row}"
+            assert row[0] == i  # self pinned
+            valids = sorted(c for c in row if pm_few[c])
+            assert valids == list(range(n_valid)), row
+            fillers = [int(c) for c in row if not pm_few[c]]
+            assert fillers == sorted(fillers) and len(fillers) == kq - n_valid
+
 
 @pytest.mark.tpu
 @pytest.mark.skipif(os.environ.get("DELTACONV_TEST_TPU") != "1",
