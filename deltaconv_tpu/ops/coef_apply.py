@@ -64,6 +64,19 @@ def _per_t_bytes(k, n, cw):
     return k * (4 * n + 8 * lanes)
 
 
+def _fit(tile, k, n, cw):
+    """Tile selection: Mosaic's true stack usage runs up to ~3x the
+    operand estimate in the SMALL-N regime (concat copies + lane
+    padding): measured OOMs at B=32, N=1024 — cw=6 tile 128 (18.94M)
+    and cw=512 tile 32 (16.26M, 268K over the 16M limit). Small N
+    gets a 4M budget with a 16-row floor; the large-N regime keeps
+    the parameters its measured-good configs (N=4096/8192) ran at."""
+    small = n <= 2048
+    return fit_tile(tile, _per_t_bytes(k, n, cw),
+                    budget=(4 if small else 10) * 2**20,
+                    floor=16 if small else 32)
+
+
 def _grad_kernel(idx_ref, w_ref, hilo_ref, out_ref, *, k, n, paired):
     t = idx_ref.shape[1]
     c = hilo_ref.shape[2] // (2 if paired else 1)
@@ -119,7 +132,7 @@ def _grad_fwd_pallas(x, coef, idx, tile, interpret):
     k = idx.shape[-1]
     hilo, paired = split_hilo(x)
     cw = hilo.shape[-1]
-    tile = fit_tile(tile, _per_t_bytes(k, n, cw))
+    tile = _fit(tile, k, n, cw)
     idx_p = _pad_to(idx.astype(jnp.int32), tile, 1)
     coef_p = _pad_to(coef.astype(jnp.float32), tile, 1)
     n_pad = idx_p.shape[1]
@@ -152,7 +165,7 @@ def _div_fwd_pallas(v, coef, idx, tile, interpret):
     flat = v.reshape(b, n, 2 * c)
     hilo, paired = split_hilo(flat)
     cw = hilo.shape[-1]
-    tile = fit_tile(tile, _per_t_bytes(k, n, cw))
+    tile = _fit(tile, k, n, cw)
     idx_p = _pad_to(idx.astype(jnp.int32), tile, 1)
     coef_p = _pad_to(coef.astype(jnp.float32), tile, 1)
     n_pad = idx_p.shape[1]
