@@ -1,0 +1,390 @@
+"""Sub-quadratic kNN via Morton-sorted spatial bucketing.
+
+The tiled sweeps of :mod:`ops.knn_topk` are exact but quadratic: every
+query row sweeps every table column, and at N=65,536 that sweep sits AT
+its VPU floor (~216 ms, 58% of the point-sharded step — PERF.md). The
+reference's native layer avoids this with a KD-tree
+(/root/reference/deltaconv/cpp/sampling.cpp:5-17 via
+geometrycentral::NearestNeighborFinder, sampling.h:5) — O(N log N)
+candidate generation. This module is the TPU-native analog: a static
+spatial bucketing that prunes the candidate set instead of a
+pointer-chasing tree.
+
+How it works (all static shapes):
+
+1. Table points are sorted by 30-bit Morton code (XLA argsort — a few
+   ms at 65k). Morton-consecutive runs of ``tile_c`` points form the
+   *buckets*; each bucket's axis-aligned bounding box is reduced in
+   XLA.
+2. Queries are Morton-sorted too; each run of ``tile_q`` queries picks
+   the ``m_tiles`` buckets with the smallest box-to-box lower-bound
+   distance as its candidate set (``lax.top_k`` over a small
+   ``[n_qt, n_buckets]`` matrix), with the tile's own 1-2 home buckets
+   force-included.
+3. The candidate buckets' position/|p|^2/validity/column planes are
+   pregathered into per-query-tile rows (block-contiguous XLA gathers,
+   DMA-friendly), and a Pallas kernel sweeps the ``m_tiles * tile_c``
+   wide candidate plane ONCE per query tile — sweep work drops from
+   ``k * N`` to ``k * m_tiles * tile_c`` per row, one grid step per
+   query tile, no cross-step scratch.
+4. The self column is excluded in-kernel and prepended as slot 0
+   afterwards (the ``loop=True`` convention), saving one sweep.
+
+Exactness: with ``quantized=False`` the result is certified per row —
+row ``i`` is exact iff its (k-1)-th winner distance is at most the
+point-to-box distance of every UNVISITED bucket (a superset-ring
+argument; an f32-rounding margin makes the test conservative). Rows
+that fail are re-solved exactly by a fixed-budget repair sweep over the
+full table (``repair_rows`` rows — 1/32 of the quadratic work at the
+default), and if more rows fail than the budget covers, the whole call
+falls back to the full ``knn_topk_table`` sweep via ``lax.switch`` —
+so winner SETS always equal the exact quadratic kernel's. In-list
+order can differ on exact score ties (the fast path breaks ties to the
+lowest global column like the reference kernels, but the certified
+rows and repaired rows can interleave differently); every consumer is
+slot-permutation-invariant past the pinned self slot.
+``quantized=True`` (the ``knn_method="approx"`` trade) quantizes each
+row's candidate scores to 16 bits packed with the candidate lane and
+runs single-pass sweeps with no certificate — recall is the
+candidate-set recall times the 16-bit score granularity (measured
+0.996 at the default config on the 65k bench cloud; tests pin
+>= 0.99).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .knn_topk import knn_topk_table
+
+__all__ = ["knn_topk_bucketed", "morton_codes"]
+
+_BIG = 1e30
+_EMPTY = -3.0e38
+
+
+def _spread3(v):
+    """10-bit int -> bits spread to every 3rd position (Morton)."""
+    v = (v | (v << 16)) & 0x030000FF
+    v = (v | (v << 8)) & 0x0300F00F
+    v = (v | (v << 4)) & 0x030C30C3
+    v = (v | (v << 2)) & 0x09249249
+    return v
+
+
+def morton_codes(pos, mn, inv_ext):
+    """``[N, 3]`` f32 positions -> int32 30-bit Morton codes, with the
+    quantization box given by ``mn``/``inv_ext`` (per-axis min and
+    1/extent)."""
+    cells = jnp.clip(((pos - mn) * inv_ext * 1023.0).astype(jnp.int32),
+                     0, 1023)
+    return (_spread3(cells[:, 0])
+            | (_spread3(cells[:, 1]) << 1)
+            | (_spread3(cells[:, 2]) << 2))
+
+
+def _cand_kernel(srow_ref, posq_ref, sqq_ref, post_ref, sqt_ref,
+                 maskt_ref, colg_ref, idx_ref, sc_ref, *, ks, marker):
+    """ks exact sweeps over the pregathered candidate plane of one
+    query tile. Sweep semantics match ``knn_topk._table_kernel``
+    (3-pass max / min-where / kill-by-index; masked columns are
+    -2*BIG fillers ranked below every valid score; kills are by global
+    column, so a bucket listed twice is self-healing), with the self
+    column EXCLUDED (-3e38) instead of pinned — the caller prepends it
+    as slot 0."""
+    q = posq_ref[...]  # [T, 3]
+    qx, qy, qz = q[:, 0:1], q[:, 1:2], q[:, 2:3]
+    p = post_ref[0]  # [3, W]
+    s = (2.0 * (qx * p[0:1] + qy * p[1:2] + qz * p[2:3])
+         - sqq_ref[...] - sqt_ref[0])
+    col = colg_ref[0]  # [1, W] global sorted column ids
+    s = jnp.where(col == srow_ref[...], _EMPTY, s)
+    s = jnp.where(maskt_ref[0] > 0.5, s, -2.0 * _BIG)
+
+    new_s, new_i = [], []
+    for _ in range(ks):
+        best = jnp.max(s, axis=1, keepdims=True)
+        win = jnp.min(jnp.where(s >= best, col, marker), axis=1,
+                      keepdims=True)
+        new_s.append(best)
+        new_i.append(win)
+        s = jnp.where(col == win, _EMPTY, s)
+    idx_ref[...] = jnp.concatenate(new_i, axis=1)
+    sc_ref[...] = jnp.concatenate(new_s, axis=1)
+
+
+def _cand_kernel_q(srow_ref, posq_ref, sqq_ref, post_ref, sqt_ref,
+                   maskt_ref, colg_ref, idx_ref, sc_ref, *, ks,
+                   marker):
+    """Quantized packed-key sweeps (``knn_topk._kernel_q``'s trade)
+    over the candidate plane: per-row 16-bit linear score quantization
+    packed with the candidate LANE into ONE int32 — one max-reduce +
+    one select per sweep. Winners emit GLOBAL columns via an in-plane
+    compare against the winning lane (cheap [T, W] select). Masked
+    columns are slot-0 fillers ranked below every valid score; the
+    self column is excluded entirely (sub-filler sentinel)."""
+    q = posq_ref[...]
+    qx, qy, qz = q[:, 0:1], q[:, 1:2], q[:, 2:3]
+    p = post_ref[0]
+    s = (2.0 * (qx * p[0:1] + qy * p[1:2] + qz * p[2:3])
+         - sqq_ref[...] - sqt_ref[0])
+    w = s.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    col = colg_ref[0]  # [1, W]
+    valid = (maskt_ref[0] > 0.5) & (col != srow_ref[...])
+
+    s_v = jnp.where(valid, s, jnp.inf)
+    rmin = jnp.min(s_v, axis=1, keepdims=True)
+    s_v = jnp.where(valid, s, -jnp.inf)
+    rmax = jnp.max(s_v, axis=1, keepdims=True)
+    rmin = jnp.where(jnp.isfinite(rmin), rmin, 0.0)
+    rmax = jnp.where(jnp.isfinite(rmax), rmax, 0.0)
+    scale = 65533.0 / jnp.maximum(rmax - rmin, 1e-30)
+    # Valid scores quantize to 1..65534; slot 0 = masked filler.
+    qs = jnp.clip(((s - rmin) * scale).astype(jnp.int32) + 1, 1, 65534)
+    packed = ((qs - 32768) << 16) | (jnp.int32(w - 1) - lane)
+    packed = jnp.where(
+        valid, packed,
+        (jnp.int32(-32768) << 16) | (jnp.int32(w - 1) - lane))
+    # The self column must never surface, even as a filler.
+    packed = jnp.where(col == srow_ref[...], jnp.int32(-2147483648),
+                       packed)
+
+    new_s, new_i = [], []
+    for _ in range(ks):
+        best = jnp.max(packed, axis=1, keepdims=True)
+        win_l = jnp.int32(w - 1) - (best & jnp.int32(65535))
+        # Global column of the winning lane: one compare+select pass.
+        gwin = jnp.min(jnp.where(lane == win_l, col, marker), axis=1,
+                       keepdims=True)
+        qb = (best >> 16) + 32768
+        st = rmin + (qb - 1).astype(jnp.float32) / scale
+        st = jnp.where(qb == 0, -2.0 * _BIG, st)  # masked filler rank
+        empty = best == jnp.int32(-2147483648)
+        new_s.append(jnp.where(empty, _EMPTY, st))
+        new_i.append(jnp.where(empty, marker, gwin))
+        packed = jnp.where(packed == best, jnp.int32(-2147483648),
+                           packed)
+    idx_ref[...] = jnp.concatenate(new_i, axis=1)
+    sc_ref[...] = jnp.concatenate(new_s, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "k", "tile_q", "tile_c", "m_tiles", "quantized", "repair_rows",
+    "interpret"))
+def knn_topk_bucketed(pos_q, pos_t, k: int, row_offset=0,
+                      point_mask=None, tile_q: int = 64,
+                      tile_c: int = 256, m_tiles: int = 24,
+                      quantized: bool = False, repair_rows: int = 2048,
+                      interpret: bool = False):
+    """k-nearest table columns via Morton-bucketed candidate sweeps.
+
+    Drop-in for :func:`ops.knn_topk.knn_topk_table` at large N:
+    ``pos_q [Nq, 3], pos_t [Nt, 3] -> idx [Nq, K]`` global table
+    indices with the self column (``row_offset + row``) pinned to
+    slot 0. Queries MUST be table rows (``row_offset + i < Nt`` with
+    ``pos_q[i] == pos_t[row_offset + i]``) — the point-sharded local
+    kNN's contract; slot 0 is the prepended self id, so an off-table
+    query would get a nonexistent column there (the quadratic kernels
+    return the k nearest instead in that case). See the module
+    docstring for the algorithm and the exactness contract of each
+    mode.
+
+    Args:
+      tile_q: Morton-consecutive queries per kernel step.
+      tile_c: bucket size (candidate granularity).
+      m_tiles: candidate buckets per query tile — each row sweeps
+        ``m_tiles * tile_c`` columns instead of ``Nt`` (defaults:
+        6,144 of 65,536 — a 10.7x sweep cut at 0.996 candidate recall
+        on the bench cloud).
+      quantized: packed-key sweeps, no certificate (recall-documented).
+      repair_rows: exact-mode budget for per-row repairs before the
+        full-sweep fallback engages.
+    """
+    nq = pos_q.shape[0]
+    nt = pos_t.shape[0]
+    if k <= 1:
+        self_col = (jnp.asarray(row_offset, jnp.int32)
+                    + jnp.arange(nq, dtype=jnp.int32))[:, None]
+        return self_col[:, :k]
+    pos_q = pos_q.astype(jnp.float32)
+    pos_t = pos_t.astype(jnp.float32)
+    ks = k - 1
+
+    # --- Morton-sort the table -------------------------------------
+    pad_t = (-nt) % tile_c
+    ntp = nt + pad_t
+    pos_tp = jnp.pad(pos_t, ((0, pad_t), (0, 0)))
+    valid_t = jnp.arange(ntp) < nt
+    if point_mask is not None:
+        valid_t = valid_t & jnp.pad(point_mask.astype(bool), (0, pad_t))
+    vmask = valid_t[:, None]
+    mn = jnp.min(jnp.where(vmask, pos_tp, jnp.inf), axis=0)
+    mx = jnp.max(jnp.where(vmask, pos_tp, -jnp.inf), axis=0)
+    mn = jnp.where(jnp.isfinite(mn), mn, 0.0)
+    mx = jnp.where(jnp.isfinite(mx), mx, 0.0)
+    inv_ext = 1.0 / jnp.maximum(mx - mn, 1e-30)
+    keys = jnp.where(valid_t, morton_codes(pos_tp, mn, inv_ext),
+                     jnp.int32(0x7FFFFFFF))  # invalid sorts to the end
+    perm = jnp.argsort(keys).astype(jnp.int32)  # stable
+    inv_perm = jnp.zeros((ntp,), jnp.int32).at[perm].set(
+        jnp.arange(ntp, dtype=jnp.int32))
+    pos_s = pos_tp[perm]
+    valid_s = valid_t[perm]
+    sq_s = jnp.sum(pos_s * pos_s, axis=-1)
+    nc = ntp // tile_c
+
+    # Bucket AABBs over VALID points (empty buckets get an inf box —
+    # unreachable as candidates; rows needing their fillers fail the
+    # certificate and repair exactly).
+    p3 = pos_s.reshape(nc, tile_c, 3)
+    v3 = valid_s.reshape(nc, tile_c, 1)
+    tmin = jnp.min(jnp.where(v3, p3, jnp.inf), axis=1)  # [nc, 3]
+    tmax = jnp.max(jnp.where(v3, p3, -jnp.inf), axis=1)
+
+    # --- Morton-sort the queries -----------------------------------
+    qkeys = morton_codes(pos_q, mn, inv_ext)
+    qperm = jnp.argsort(qkeys).astype(jnp.int32)  # [nq]
+    pad_q = (-nq) % tile_q
+    # Pad by replicating the last sorted query: real data, harmless
+    # duplicate rows that are sliced away after un-sorting.
+    qperm_p = jnp.concatenate(
+        [qperm, jnp.broadcast_to(qperm[-1:], (pad_q,))])
+    nqp = nq + pad_q
+    posq_s = pos_q[qperm_p]
+    sqq = jnp.sum(posq_s * posq_s, axis=-1, keepdims=True)
+    g_row = jnp.asarray(row_offset, jnp.int32) + qperm_p
+    # Sorted-table position of each query's self column (-1 when the
+    # query is not a table row: never matches any column).
+    srow = jnp.where(g_row < nt,
+                     inv_perm[jnp.clip(g_row, 0, ntp - 1)],
+                     jnp.int32(-1))[:, None]
+
+    nqt = nqp // tile_q
+    q3 = posq_s.reshape(nqt, tile_q, 3)
+    qmin = jnp.min(q3, axis=1)  # [nqt, 3]
+    qmax = jnp.max(q3, axis=1)
+
+    # --- Candidate buckets per query tile --------------------------
+    gap = jnp.maximum(0.0, jnp.maximum(qmin[:, None] - tmax[None],
+                                       tmin[None] - qmax[:, None]))
+    d2box = jnp.sum(gap * gap, axis=-1)  # [nqt, nc]
+    m = min(m_tiles, nc)
+    # Force-include each query's own (self-column) home buckets: when
+    # queries are table rows, srow lives in a known bucket that MUST
+    # be swept for the self exclusion to be meaningful — and overlap
+    # ties in d2box (many zeros on surface data) could push it out.
+    home = srow[:nq, 0] // tile_c  # [-1//tile_c is fine: clipped]
+    it = jnp.arange(nqp, dtype=jnp.int32)[:nq] // tile_q
+    d2box = d2box.at[it, jnp.clip(home, 0, nc - 1)].min(-1.0)
+    _, cand = jax.lax.top_k(-d2box, m)  # [nqt, m], ascending distance
+    cand = cand.astype(jnp.int32)
+    w = m * tile_c
+
+    # Pregather the candidate planes (bucket-contiguous rows — cheap,
+    # DMA-friendly XLA gathers).
+    ptg = jnp.transpose(p3[cand], (0, 3, 1, 2)).reshape(nqt, 3, w)
+    sqg = sq_s.reshape(nc, tile_c)[cand].reshape(nqt, 1, w)
+    mkg = (valid_s.astype(jnp.float32).reshape(nc, tile_c)[cand]
+           .reshape(nqt, 1, w))
+    colg = ((cand * tile_c)[:, :, None]
+            + jnp.arange(tile_c, dtype=jnp.int32)).reshape(nqt, 1, w)
+
+    kern = _cand_kernel_q if quantized else _cand_kernel
+    idx_s, sc_s = pl.pallas_call(
+        functools.partial(kern, ks=ks, marker=ntp),
+        grid=(nqt,),
+        in_specs=[
+            pl.BlockSpec((tile_q, 1), lambda iq: (iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, 3), lambda iq: (iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, 1), lambda iq: (iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, w), lambda iq: (iq, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, w), lambda iq: (iq, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, w), lambda iq: (iq, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, w), lambda iq: (iq, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_q, ks), lambda iq: (iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, ks), lambda iq: (iq, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nqp, ks), jnp.int32),
+            jax.ShapeDtypeStruct((nqp, ks), jnp.float32),
+        ],
+        interpret=interpret,
+    )(srow, posq_s, sqq, ptg, sqg, mkg, colg)
+
+    # --- Un-sort, map to global indices, prepend self ---------------
+    inv_qperm = jnp.zeros((nq,), jnp.int32).at[qperm].set(
+        jnp.arange(nq, dtype=jnp.int32))
+    # Rows of idx_s are sorted queries; original row i lives at sorted
+    # position inv_qperm[i].
+    idx_o = idx_s[inv_qperm]
+    sc_o = sc_s[inv_qperm]
+    gidx = perm[jnp.clip(idx_o, 0, ntp - 1)]
+    self_col = (jnp.asarray(row_offset, jnp.int32)
+                + jnp.arange(nq, dtype=jnp.int32))[:, None]
+    fast_idx = jnp.concatenate([self_col, gidx], axis=1)
+
+    if quantized or nc <= m:
+        # Either the recall-documented mode, or every bucket was
+        # visited (exhaustive == exact; no certificate needed).
+        return fast_idx
+
+    # --- Exactness certificate (per row) ---------------------------
+    # Row i is exact iff its (k-1)-th winner score clears the best
+    # possible score of every unvisited bucket: point-to-box distance
+    # (scores are -d^2). A relative f32 margin keeps it conservative.
+    gapq = jnp.maximum(0.0, jnp.maximum(tmin[None] - pos_q[:, None],
+                                        pos_q[:, None] - tmax[None]))
+    d2pb = jnp.sum(gapq * gapq, axis=-1)  # [nq, nc]
+    cand_mask = jnp.zeros((nqt, nc), bool).at[
+        jnp.arange(nqt, dtype=jnp.int32)[:, None], cand].set(True)
+    row_tile = (inv_qperm // tile_q)  # sorted tile of original row i
+    visited = cand_mask[row_tile]  # [nq, nc]
+    bound = jnp.min(jnp.where(visited, jnp.inf, d2pb), axis=1)  # [nq]
+    kth = jnp.min(sc_o, axis=1)
+    ok = (kth - 1e-6 * jnp.abs(kth) - 1e-30) >= -bound
+    n_bad = jnp.sum(~ok)
+
+    r = min(repair_rows, nq)
+
+    def _fast():
+        return fast_idx
+
+    def _full():
+        return knn_topk_table(pos_q, pos_t, k, row_offset=row_offset,
+                              point_mask=point_mask,
+                              interpret=interpret)
+
+    if r == 0:
+        return jax.lax.cond(n_bad == 0, _fast, _full)
+
+    def _repair():
+        # Re-solve the failing rows exactly against the FULL table
+        # (top_k surfaces them first; extra certified rows re-solved
+        # harmlessly — the full sweep is exact too).
+        _, rep = jax.lax.top_k((~ok).astype(jnp.float32), r)
+        rep = rep.astype(jnp.int32)
+        rep_idx = knn_topk_table(
+            pos_q[rep], pos_t, k,
+            row_ids=jnp.asarray(row_offset, jnp.int32) + rep,
+            point_mask=point_mask, interpret=interpret)
+        return fast_idx.at[rep].set(rep_idx)
+
+    branch = jnp.where(n_bad == 0, 0, jnp.where(n_bad <= r, 1, 2))
+    return jax.lax.switch(branch, [_fast, _repair, _full])

@@ -283,7 +283,8 @@ def _table_kernel_q(rows_ref, posq_ref, sqq_ref, post_ref, sqt_ref,
                                               "interpret", "quantized"))
 def knn_topk_table(pos_q, pos_t, k: int, row_offset=0, point_mask=None,
                    tile_q: int = 256, tile_c: int = 2048,
-                   interpret: bool = False, quantized: bool = False):
+                   interpret: bool = False, quantized: bool = False,
+                   row_ids=None):
     """k-nearest table columns for each query row: ``pos_q [Nq, 3]``,
     ``pos_t [Nt, 3] -> idx [Nq, K]`` (global table indices, self —
     the column equal to ``row_offset + row`` — pinned to slot 0, ties
@@ -296,15 +297,22 @@ def knn_topk_table(pos_q, pos_t, k: int, row_offset=0, point_mask=None,
     ``quantized=True`` runs the ~1.5x faster packed-key sweeps whose
     ordering is exact at 16-bit per-tile score granularity
     (``_table_kernel_q``); ``False`` matches `geometry.knn`'s winner
-    sets bit-for-bit."""
+    sets bit-for-bit. ``row_ids`` (``[Nq]`` int32) overrides the
+    ``row_offset + arange`` self-column ids for non-contiguous query
+    subsets (the bucketed kernel's repair pass)."""
     n_q = pos_q.shape[0]
     n_t = pos_t.shape[0]
     pad_q = (-n_q) % tile_q
     pad_c = (-n_t) % tile_c
     posq = jnp.pad(pos_q.astype(jnp.float32), ((0, pad_q), (0, 0)))
     sqq = jnp.sum(posq * posq, axis=-1, keepdims=True)  # [Nq, 1]
-    rows = (jnp.asarray(row_offset, jnp.int32)
-            + jnp.arange(n_q + pad_q, dtype=jnp.int32))[:, None]
+    if row_ids is None:
+        rows = (jnp.asarray(row_offset, jnp.int32)
+                + jnp.arange(n_q + pad_q, dtype=jnp.int32))[:, None]
+    else:
+        # Padded rows get id -1: never equal to any column.
+        rows = jnp.pad(row_ids.astype(jnp.int32), (0, pad_q),
+                       constant_values=-1)[:, None]
     post = jnp.swapaxes(pos_t, 0, 1).astype(jnp.float32)  # [3, Nt]
     post = jnp.pad(post, ((0, 0), (0, pad_c)))
     sqt = jnp.sum(post * post, axis=0, keepdims=True)  # [1, Nt+pad]

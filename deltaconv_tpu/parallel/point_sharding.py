@@ -59,6 +59,15 @@ _NEG = -3.0e38
 # cannot fit). Tests shrink it to exercise the tiled path at small N.
 _KNN_TILE = 4096
 
+# Above this table length the TPU path further switches from the
+# quadratic column sweep to the Morton-bucketed candidate sweep
+# (ops/knn_bucketed.py — the TPU-native analog of the reference's
+# KD-tree candidate generation, cpp/sampling.cpp:5-17): ~10x less
+# sweep work at 65k points. Exact mode stays exact through the
+# certificate + repair + fallback chain; approx mode documents ~0.996
+# recall at the bench operating point. Tests shrink it.
+_KNN_BUCKETED_MIN = 16384
+
 
 def _knn_scores(pos_q, sq_q, pos_t, sq_t, rows, cols,
                 point_mask_t=None):
@@ -102,6 +111,17 @@ def _local_knn(pos_local, pos_full, k, offset, point_mask_full=None,
         return idx.astype(jnp.int32)
 
     if jax.default_backend() == "tpu":
+        if n_full >= _KNN_BUCKETED_MIN:
+            # Morton-bucketed candidate sweep (ops/knn_bucketed.py):
+            # each query row sweeps only the nearest spatial buckets.
+            # Exact mode certifies per row and repairs/falls back, so
+            # winner SETS still match the quadratic sweep; approx mode
+            # is the recall-documented packed-key variant.
+            from ..ops.knn_bucketed import knn_topk_bucketed
+            return knn_topk_bucketed(pos_local, pos_full, k,
+                                     row_offset=offset,
+                                     point_mask=point_mask_full,
+                                     quantized=quantized)
         # Column-tiled Pallas sweep: the [n_local, tile] score plane
         # stays in VMEM with a running top-k scratch (ops/knn_topk.py
         # knn_topk_table) — winner sets match the XLA scan below
