@@ -490,6 +490,81 @@ class DeepMaxMLP(lnn.Module):
             any_valid = jnp.any(gd.nbr_mask, axis=-1)[..., None]
             return jnp.where(any_valid, out, 0.0).astype(dt)
 
+        # Fused centralized depth-2 TRAIN path: the reference pipeline
+        # below materializes [..., N, K, C] edge tensors through the
+        # whole MLP in BOTH directions (the dominant cost of the seg
+        # train step — PERF.md). Here layer 0 commutes through the
+        # edge difference like EdgeMaxMLP (y = Dense_0(x) per POINT,
+        # edge value y_j - y_i; BatchNorm_0 edge moments from neighbor
+        # SUMS), the Pallas op edge_delta_mlp computes
+        # lrelu(affine_0(y_j - y_i)) @ W_1 per edge with recompute-in-
+        # backward, and only ONE bf16 tensor (y1) is materialized for
+        # the differentiable XLA BatchNorm_1 + max tail. Parameter
+        # tree unchanged (lin{i}/bn{i}).
+        fused_train = (train and not _FORCE_FUSED_OFF
+                       and self.centralized and len(self.channels) == 2
+                       and dt == jnp.bfloat16
+                       and hasattr(gd, "nbr_max_affine")
+                       and not getattr(gd, "_int8", False)
+                       and (jax.default_backend() == "tpu"
+                            or _FORCE_FUSED_TRAIN))
+        if fused_train:
+            from ..ops.edge_mlp import edge_delta_mlp
+
+            c0, c1 = self.channels
+            w0 = _Kernel(c0, name="lin0")(x)
+            y = jnp.dot(x.astype(dt), w0.astype(dt))
+            y32 = y.astype(jnp.float32)
+
+            # BatchNorm_0 batch moments over the EDGE population via
+            # neighbor sums (EdgeMaxMLP's identities), no edge tensor.
+            smask = (jnp.ones(gd.nbr_idx.shape, bool)
+                     if stats_mask is None else stats_mask)
+            srt = gd.nbr_sum(jnp.concatenate([y32, y32 * y32], -1),
+                             smask)
+            s1, s2 = srt[..., :c0], srt[..., c0:]
+            cnt = jnp.sum(smask, -1).astype(jnp.float32)[..., None]
+            e_total = jnp.maximum(jnp.sum(cnt), 1.0)
+            lead = tuple(range(y32.ndim - 1))
+            mean0 = jnp.sum(s1 - cnt * y32, axis=lead) / e_total
+            sum_h2 = jnp.sum(s2 - 2.0 * y32 * s1 + cnt * y32 * y32,
+                             axis=lead)
+            var0 = jnp.maximum(sum_h2 / e_total - mean0 * mean0, 0.0)
+            inv0, mean0_, bias0 = _BNStateHolder(name="bn0")(
+                c0, mean0, var0, True)
+            a0 = inv0
+            b0 = bias0 - mean0_ * inv0
+
+            w1 = _Kernel(c1, name="lin1")(jnp.zeros((1, c0)))
+            # kNN self slot = the zero edge: constant row through the
+            # rest of the chain (its b0/W1 gradients flow through this
+            # XLA graph via the op's dz0).
+            z0 = jnp.dot(leaky_relu02(b0).astype(dt)[None],
+                         w1.astype(dt),
+                         preferred_element_type=jnp.float32)[0]
+
+            unbatched = gd.nbr_idx.ndim == 2
+            yb = (y[None] if unbatched else y).astype(dt)
+            idx = gd.nbr_idx[None] if unbatched else gd.nbr_idx
+            y1 = edge_delta_mlp(yb, a0, b0, w1, z0, idx,
+                                interpret=_FORCE_FUSED_INTERPRET)
+            if unbatched:
+                y1 = y1[0]
+
+            # BatchNorm_1 over the edge population (masked like the
+            # reference), then LeakyReLU + masked max — all plain XLA
+            # autodiff over the single bf16 tensor.
+            y1_32 = y1.astype(jnp.float32)
+            m_ = None if stats_mask is None else stats_mask[..., None]
+            lead1 = tuple(range(y1_32.ndim - 1))
+            mean1 = jnp.mean(y1_32, lead1, where=m_)
+            mean1sq = jnp.mean(y1_32 * y1_32, lead1, where=m_)
+            var1 = jnp.maximum(mean1sq - mean1 * mean1, 0.0)
+            inv1, mean1_, bias1 = _BNStateHolder(name="bn1")(
+                c1, mean1, var1, True)
+            h1 = leaky_relu02((y1_32 - mean1_) * inv1 + bias1)
+            return _aggregate(h1.astype(dt), gd.nbr_mask, "max")
+
         ddt = jnp.dtype(self.dtype) if self.dtype else None
         if self.centralized:
             x_j = gd.nbr_gather(x)  # [..., N, K, C]

@@ -110,7 +110,11 @@ def _bwd_kernel(idx_ref, y_ref, ab_ref, w1_ref, g_ref, dy_ref, dw1_ref,
     c1 = g.shape[-1]
     g1 = jnp.concatenate([g[:, kk + 1, :] for kk in range(k - 1)],
                          axis=0)  # [(K-1)T, C1] k-major like onehot
-    dh = jax.lax.dot_general(g1, w1_ref[...], (((1,), (1,)), ((), ())),
+    # bf16 cotangent into the bf16-weight dot: the exact convention
+    # jax.grad of the forward's bf16 matmul uses.
+    g1b = g1.astype(jnp.bfloat16)
+    dh = jax.lax.dot_general(g1b, w1_ref[...].astype(jnp.bfloat16),
+                             (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     dpre = dh * lp
     dy0 = dpre * a0
@@ -135,7 +139,7 @@ def _bwd_kernel(idx_ref, y_ref, ab_ref, w1_ref, g_ref, dy_ref, dw1_ref,
     dy_ref[0, pl.ds(t0, t), :] -= dself
 
     dw1_ref[...] += jax.lax.dot_general(
-        h, g1, (((0,), (0,)), ((), ())),
+        h.astype(jnp.bfloat16), g1b, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)  # [C0, C1]
     dab_ref[0:1] += jnp.sum(dpre * y0, axis=0, keepdims=True)
     dab_ref[1:2] += jnp.sum(dpre, axis=0, keepdims=True)
@@ -151,10 +155,14 @@ def _reference(y, a0, b0, w1, z0, idx):
     h = jnp.where(pre >= 0, pre, 0.2 * pre).astype(jnp.bfloat16)
     y1 = jnp.dot(h, w1.astype(jnp.bfloat16),
                  preferred_element_type=jnp.float32)
-    y1 = y1.astype(jnp.bfloat16)
-    z0r = jnp.broadcast_to(z0.astype(jnp.bfloat16),
+    # Keep the concat in f32 (values already bf16-representable) so
+    # autodiff's broadcast-sum cotangent for z0 accumulates in f32;
+    # one final cast reproduces the kernel's bf16 output bit-for-bit.
+    y1 = y1.astype(jnp.bfloat16).astype(jnp.float32)
+    z0r = jnp.broadcast_to(z0.astype(jnp.bfloat16).astype(jnp.float32),
                            y1[..., 0, :].shape)
-    return jnp.concatenate([z0r[..., None, :], y1[..., 1:, :]], axis=-2)
+    out = jnp.concatenate([z0r[..., None, :], y1[..., 1:, :]], axis=-2)
+    return out.astype(jnp.bfloat16)
 
 
 def _pallas_fwd(y, a0, b0, w1, z0, idx, tile, interpret):
@@ -250,22 +258,23 @@ def _reference_bwd(y, a0, b0, w1, idx, g):
         jnp.float32)
     gf = g.astype(jnp.float32)
     g1 = gf.at[..., 0, :].set(0.0)  # slot 0 belongs to z0
-    dh = jnp.dot(g1, w1.astype(jnp.float32).T)
+    g1b = g1.astype(jnp.bfloat16)
+    dh = jnp.dot(g1b, w1.astype(jnp.bfloat16).T,
+                 preferred_element_type=jnp.float32)
     dpre = dh * lp
-    dy0 = (dpre * a0).astype(jnp.bfloat16).astype(jnp.float32)
+    dy0f = dpre * a0
+    dy0 = dy0f.astype(jnp.bfloat16).astype(jnp.float32)
     dy = jnp.zeros((b, n, c0), jnp.float32)
     bidx = jnp.arange(b)[:, None, None, None]
     cidx = jnp.arange(c0)[None, None, None, :]
     dy = dy.at[bidx, idx[..., None], cidx].add(dy0)
-    dy = dy - jnp.sum(dy0, axis=-2)
-    dw1 = jnp.einsum("bnkc,bnkd->cd", h, g1)
-    # The kernel's dpre/y0 sums run f32 WITHOUT the bf16 rounding of
-    # the scatter path.
-    dpre_t = dh * lp * 1.0
-    da0 = jnp.sum(dpre_t * a0 / jnp.maximum(jnp.abs(a0), 1e-30)
-                  * jnp.sign(a0) * y0, axis=(0, 1, 2))
-    da0 = jnp.sum(dpre_t * y0, axis=(0, 1, 2))
-    db0 = jnp.sum(dpre_t, axis=(0, 1, 2))
+    # The kernel's self term subtracts the UNROUNDED f32 sums.
+    dy = dy - jnp.sum(dy0f, axis=-2)
+    dw1 = jnp.einsum("bnkc,bnkd->cd",
+                     h.astype(jnp.bfloat16).astype(jnp.float32),
+                     g1b.astype(jnp.float32))
+    da0 = jnp.sum(dpre * y0, axis=(0, 1, 2))
+    db0 = jnp.sum(dpre, axis=(0, 1, 2))
     dz0 = jnp.sum(gf[..., 0, :], axis=(0, 1))
     return dy, da0, db0, dw1, dz0
 

@@ -88,55 +88,66 @@ def morton_codes(pos, mn, inv_ext):
             | (_spread3(cells[:, 2]) << 2))
 
 
-def _cand_kernel(srow_ref, posq_ref, sqq_ref, post_ref, sqt_ref,
-                 maskt_ref, colg_ref, idx_ref, sc_ref, *, ks, marker):
-    """ks exact sweeps over the pregathered candidate plane of one
-    query tile. Sweep semantics match ``knn_topk._table_kernel``
-    (3-pass max / min-where / kill-by-index; masked columns are
-    -2*BIG fillers ranked below every valid score; kills are by global
-    column, so a bucket listed twice is self-healing), with the self
-    column EXCLUDED (-3e38) instead of pinned — the caller prepends it
-    as slot 0."""
+def _scores(posq_ref, sqq_ref, comb_ref, m):
+    """Candidate-plane scores from the combined ``[m, 4, Tc]`` block
+    (rows 0-2: positions, row 3: |p|^2 with invalid columns preloaded
+    to 4e30 so they rank below every real score without a separate
+    mask plane). Returns ``[T, W]`` f32."""
     q = posq_ref[...]  # [T, 3]
     qx, qy, qz = q[:, 0:1], q[:, 1:2], q[:, 2:3]
-    p = post_ref[0]  # [3, W]
-    s = (2.0 * (qx * p[0:1] + qy * p[1:2] + qz * p[2:3])
-         - sqq_ref[...] - sqt_ref[0])
-    col = colg_ref[0]  # [1, W] global sorted column ids
-    s = jnp.where(col == srow_ref[...], _EMPTY, s)
-    s = jnp.where(maskt_ref[0] > 0.5, s, -2.0 * _BIG)
+    pieces = []
+    for j in range(m):
+        pj = comb_ref[0, j]  # [4, Tc]
+        pieces.append(2.0 * (qx * pj[0:1] + qy * pj[1:2] + qz * pj[2:3])
+                      - pj[3:4])
+    return jnp.concatenate(pieces, axis=1) - sqq_ref[...]
+
+
+def _cand_kernel(srow_ref, posq_ref, sqq_ref, comb_ref, orig_ref,
+                 idx_ref, sc_ref, *, ks, m, marker):
+    """ks exact sweeps over the pregathered candidate plane of one
+    query tile (3-pass max / min-where / kill, as in
+    ``knn_topk._table_kernel``). Winners are emitted directly as
+    ORIGINAL table indices via the pregathered ``orig`` plane (ties
+    break to the lowest original index, matching the quadratic
+    kernels; XLA-side index mapping traced at ~8 ns/element — two such
+    gathers cost more than the whole sweep). Invalid columns carry
+    ~-4e30 scores — ranked below every valid column, above the -3e38
+    empty marker — so starved rows still emit distinct fillers. The
+    self column is EXCLUDED (-3e38) instead of pinned: the caller
+    prepends it as slot 0."""
+    s = _scores(posq_ref, sqq_ref, comb_ref, m)
+    orig = orig_ref[0]  # [1, W] original table ids per lane
+    s = jnp.where(orig == srow_ref[...], _EMPTY, s)
 
     new_s, new_i = [], []
     for _ in range(ks):
         best = jnp.max(s, axis=1, keepdims=True)
-        win = jnp.min(jnp.where(s >= best, col, marker), axis=1,
+        win = jnp.min(jnp.where(s >= best, orig, marker), axis=1,
                       keepdims=True)
         new_s.append(best)
         new_i.append(win)
-        s = jnp.where(col == win, _EMPTY, s)
+        s = jnp.where(orig == win, _EMPTY, s)
     idx_ref[...] = jnp.concatenate(new_i, axis=1)
     sc_ref[...] = jnp.concatenate(new_s, axis=1)
 
 
-def _cand_kernel_q(srow_ref, posq_ref, sqq_ref, post_ref, sqt_ref,
-                   maskt_ref, colg_ref, idx_ref, sc_ref, *, ks,
-                   marker):
+def _cand_kernel_q(srow_ref, posq_ref, sqq_ref, comb_ref, orig_ref,
+                   idx_ref, sc_ref, *, ks, m, marker):
     """Quantized packed-key sweeps (``knn_topk._kernel_q``'s trade)
     over the candidate plane: per-row 16-bit linear score quantization
-    packed with the candidate LANE into ONE int32 — one max-reduce +
-    one select per sweep. Winners emit GLOBAL columns via an in-plane
-    compare against the winning lane (cheap [T, W] select). Masked
-    columns are slot-0 fillers ranked below every valid score; the
-    self column is excluded entirely (sub-filler sentinel)."""
-    q = posq_ref[...]
-    qx, qy, qz = q[:, 0:1], q[:, 1:2], q[:, 2:3]
-    p = post_ref[0]
-    s = (2.0 * (qx * p[0:1] + qy * p[1:2] + qz * p[2:3])
-         - sqq_ref[...] - sqt_ref[0])
+    packed with the candidate LANE into ONE int32 — each sweep is a
+    single max-reduce plus a kill select. The winner's ORIGINAL table
+    index is read off the pregathered ``orig`` plane with a min-where
+    that reuses the kill compare (in-kernel emission: the XLA
+    take-along/permutation gathers it replaces traced at ~10 ms each).
+    Invalid columns are slot-0 fillers ranked below every valid score;
+    the self column is excluded entirely (sub-filler sentinel)."""
+    s = _scores(posq_ref, sqq_ref, comb_ref, m)
     w = s.shape[1]
     lane = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    col = colg_ref[0]  # [1, W]
-    valid = (maskt_ref[0] > 0.5) & (col != srow_ref[...])
+    orig = orig_ref[0]  # [1, W]
+    valid = (s > -1e29) & (orig != srow_ref[...])
 
     s_v = jnp.where(valid, s, jnp.inf)
     rmin = jnp.min(s_v, axis=1, keepdims=True)
@@ -145,31 +156,27 @@ def _cand_kernel_q(srow_ref, posq_ref, sqq_ref, post_ref, sqt_ref,
     rmin = jnp.where(jnp.isfinite(rmin), rmin, 0.0)
     rmax = jnp.where(jnp.isfinite(rmax), rmax, 0.0)
     scale = 65533.0 / jnp.maximum(rmax - rmin, 1e-30)
-    # Valid scores quantize to 1..65534; slot 0 = masked filler.
+    # Valid scores quantize to 1..65534; slot 0 = invalid filler.
     qs = jnp.clip(((s - rmin) * scale).astype(jnp.int32) + 1, 1, 65534)
-    packed = ((qs - 32768) << 16) | (jnp.int32(w - 1) - lane)
-    packed = jnp.where(
-        valid, packed,
-        (jnp.int32(-32768) << 16) | (jnp.int32(w - 1) - lane))
+    qs = jnp.where(valid, qs, 0)
+    packed = ((qs - 32768) << 16) | (jnp.int32(65535) - lane)
     # The self column must never surface, even as a filler.
-    packed = jnp.where(col == srow_ref[...], jnp.int32(-2147483648),
-                       packed)
+    packed = jnp.where(orig == srow_ref[...],
+                       jnp.int32(-2147483648), packed)
 
     new_s, new_i = [], []
     for _ in range(ks):
         best = jnp.max(packed, axis=1, keepdims=True)
-        win_l = jnp.int32(w - 1) - (best & jnp.int32(65535))
-        # Global column of the winning lane: one compare+select pass.
-        gwin = jnp.min(jnp.where(lane == win_l, col, marker), axis=1,
-                       keepdims=True)
+        kill = packed == best  # winner is unique (lane in the key)
         qb = (best >> 16) + 32768
         st = rmin + (qb - 1).astype(jnp.float32) / scale
-        st = jnp.where(qb == 0, -2.0 * _BIG, st)  # masked filler rank
+        st = jnp.where(qb == 0, -2.0 * _BIG, st)  # filler rank
         empty = best == jnp.int32(-2147483648)
+        win = jnp.min(jnp.where(kill, orig, marker), axis=1,
+                      keepdims=True)
         new_s.append(jnp.where(empty, _EMPTY, st))
-        new_i.append(jnp.where(empty, marker, gwin))
-        packed = jnp.where(packed == best, jnp.int32(-2147483648),
-                           packed)
+        new_i.append(jnp.where(empty, marker, win))
+        packed = jnp.where(kill, jnp.int32(-2147483648), packed)
     idx_ref[...] = jnp.concatenate(new_i, axis=1)
     sc_ref[...] = jnp.concatenate(new_s, axis=1)
 
@@ -259,11 +266,11 @@ def knn_topk_bucketed(pos_q, pos_t, k: int, row_offset=0,
     posq_s = pos_q[qperm_p]
     sqq = jnp.sum(posq_s * posq_s, axis=-1, keepdims=True)
     g_row = jnp.asarray(row_offset, jnp.int32) + qperm_p
-    # Sorted-table position of each query's self column (-1 when the
-    # query is not a table row: never matches any column).
-    srow = jnp.where(g_row < nt,
-                     inv_perm[jnp.clip(g_row, 0, ntp - 1)],
-                     jnp.int32(-1))[:, None]
+    # ORIGINAL-id of each query's self column (-1 when the query is
+    # not a table row: never matches any lane of the orig plane).
+    srow = jnp.where(g_row < nt, g_row, jnp.int32(-1))[:, None]
+    # Sorted-table position (for the home-bucket force-include only).
+    spos = inv_perm[jnp.clip(g_row, 0, ntp - 1)]
 
     nqt = nqp // tile_q
     q3 = posq_s.reshape(nqt, tile_q, 3)
@@ -279,25 +286,30 @@ def knn_topk_bucketed(pos_q, pos_t, k: int, row_offset=0,
     # queries are table rows, srow lives in a known bucket that MUST
     # be swept for the self exclusion to be meaningful — and overlap
     # ties in d2box (many zeros on surface data) could push it out.
-    home = srow[:nq, 0] // tile_c  # [-1//tile_c is fine: clipped]
+    home = jnp.where(g_row[:nq] < nt, spos[:nq] // tile_c, 0)
     it = jnp.arange(nqp, dtype=jnp.int32)[:nq] // tile_q
     d2box = d2box.at[it, jnp.clip(home, 0, nc - 1)].min(-1.0)
     _, cand = jax.lax.top_k(-d2box, m)  # [nqt, m], ascending distance
     cand = cand.astype(jnp.int32)
     w = m * tile_c
+    assert w <= 65535, "quantized lane packing needs m_tiles*tile_c <= 65535"
 
-    # Pregather the candidate planes (bucket-contiguous rows — cheap,
-    # DMA-friendly XLA gathers).
-    ptg = jnp.transpose(p3[cand], (0, 3, 1, 2)).reshape(nqt, 3, w)
-    sqg = sq_s.reshape(nc, tile_c)[cand].reshape(nqt, 1, w)
-    mkg = (valid_s.astype(jnp.float32).reshape(nc, tile_c)[cand]
-           .reshape(nqt, 1, w))
-    colg = ((cand * tile_c)[:, :, None]
-            + jnp.arange(tile_c, dtype=jnp.int32)).reshape(nqt, 1, w)
+    # ONE combined pregather (bucket-contiguous 4*tile_c-float rows —
+    # a DMA-friendly XLA row gather; separate per-plane gathers traced
+    # at 8.9 ms vs the 18 ms kernel): rows 0-2 positions, row 3 |p|^2
+    # with invalid columns preloaded to 4e30 (their scores land at
+    # ~-4e30 — below every valid score, above the -3e38 empty marker).
+    sq_eff = jnp.where(valid_s, sq_s, 4.0e30)
+    comb = (jnp.concatenate([pos_s, sq_eff[:, None]], axis=1)
+            .reshape(nc, tile_c, 4).transpose(0, 2, 1))  # [nc, 4, Tc]
+    combg = comb[cand]  # [nqt, m, 4, Tc]
+    # ORIGINAL table ids per candidate lane (pad slots carry their
+    # >= nt padded originals — maskable fillers, like knn_topk_table).
+    origg = perm.reshape(nc, 1, tile_c)[cand].reshape(nqt, 1, w)
 
     kern = _cand_kernel_q if quantized else _cand_kernel
     idx_s, sc_s = pl.pallas_call(
-        functools.partial(kern, ks=ks, marker=ntp),
+        functools.partial(kern, ks=ks, m=m, marker=ntp),
         grid=(nqt,),
         in_specs=[
             pl.BlockSpec((tile_q, 1), lambda iq: (iq, 0),
@@ -306,11 +318,7 @@ def knn_topk_bucketed(pos_q, pos_t, k: int, row_offset=0,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_q, 1), lambda iq: (iq, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, w), lambda iq: (iq, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, w), lambda iq: (iq, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, w), lambda iq: (iq, 0, 0),
+            pl.BlockSpec((1, m, 4, tile_c), lambda iq: (iq, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, w), lambda iq: (iq, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -325,20 +333,23 @@ def knn_topk_bucketed(pos_q, pos_t, k: int, row_offset=0,
             jax.ShapeDtypeStruct((nqp, ks), jnp.int32),
             jax.ShapeDtypeStruct((nqp, ks), jnp.float32),
         ],
+        # Mosaic's stack estimate for the unrolled sweeps over the
+        # [T, W] plane exceeds the 16 MB default at tile_q=64 (21 MB);
+        # the v5e has 128 MB of VMEM and tile_q=32 measured 1.8x
+        # slower, so raise the scoped limit instead of shrinking.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
-    )(srow, posq_s, sqq, ptg, sqg, mkg, colg)
+    )(srow, posq_s, sqq, combg, origg)
 
-    # --- Un-sort, map to global indices, prepend self ---------------
+    # --- Un-sort (rows of idx_s are sorted queries), prepend self ----
     inv_qperm = jnp.zeros((nq,), jnp.int32).at[qperm].set(
         jnp.arange(nq, dtype=jnp.int32))
-    # Rows of idx_s are sorted queries; original row i lives at sorted
-    # position inv_qperm[i].
     idx_o = idx_s[inv_qperm]
     sc_o = sc_s[inv_qperm]
-    gidx = perm[jnp.clip(idx_o, 0, ntp - 1)]
     self_col = (jnp.asarray(row_offset, jnp.int32)
                 + jnp.arange(nq, dtype=jnp.int32))[:, None]
-    fast_idx = jnp.concatenate([self_col, gidx], axis=1)
+    fast_idx = jnp.concatenate([self_col, idx_o], axis=1)
 
     if quantized or nc <= m:
         # Either the recall-documented mode, or every bucket was

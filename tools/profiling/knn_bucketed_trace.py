@@ -25,8 +25,9 @@ batch = synthetic_classification_batch(1, 1, N, 40)
 pos = jnp.asarray(np.asarray(batch["pos"][0], np.float32))
 
 quant = "--exact" not in sys.argv
+tq = int(sys.argv[sys.argv.index("--tq") + 1]) if "--tq" in sys.argv else 32
 f = jax.jit(lambda p: knn_topk_bucketed(
-    p, p, K, tile_q=64, tile_c=256, m_tiles=24, quantized=quant))
+    p, p, K, tile_q=tq, tile_c=256, m_tiles=24, quantized=quant))
 out = f(pos)
 jax.device_get(out)
 
