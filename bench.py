@@ -89,7 +89,7 @@ def _build_model():
     )
 
 
-def bench_eval(operator_dtype=None):
+def bench_eval(operator_dtype=None, knn_method=None):
     import jax
     import jax.numpy as jnp
 
@@ -98,6 +98,8 @@ def bench_eval(operator_dtype=None):
     model = _build_model()
     if operator_dtype is not None:
         model = model.clone(operator_dtype=operator_dtype)
+    if knn_method is not None:
+        model = model.clone(knn_method=knn_method)
     batch = synthetic_classification_batch(0, BATCH, NUM_POINTS, NUM_CLASSES)
     pos = jnp.asarray(batch["pos"])
     normal = jnp.asarray(batch["normal"])
@@ -460,6 +462,59 @@ def bench_point_shard_train():
     return n / sec, sec * 1000.0
 
 
+def bench_device_busy():
+    """Per-step device-busy time of the headline eval step from a
+    short ``jax.profiler`` trace (the attribution diagnostic: wall -
+    busy = dispatch/sync overhead, busy regressions = kernel
+    regressions). Returns (busy_ms_per_step, wall_ms_per_step)."""
+    import glob
+    import gzip
+    import json as _json
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from deltaconv_tpu.data import synthetic_classification_batch
+
+    model = _build_model()
+    batch = synthetic_classification_batch(0, BATCH, NUM_POINTS,
+                                           NUM_CLASSES)
+    pos = jnp.asarray(batch["pos"])
+    normal = jnp.asarray(batch["normal"])
+    variables = jax.jit(
+        lambda p, n: model.init(jax.random.PRNGKey(0), p, normal=n,
+                                train=False))(pos, normal)
+    forward = jax.jit(
+        lambda p, n: model.apply(variables, p, normal=n, train=False))
+    steps = 10
+    for _ in range(5):
+        out = forward(pos, normal)
+    jax.device_get(out)
+    outdir = tempfile.mkdtemp(prefix="bench_trace_")
+    t0 = time.perf_counter()
+    with jax.profiler.trace(outdir):
+        for _ in range(steps):
+            out = forward(pos, normal)
+        jax.device_get(out)
+    wall = (time.perf_counter() - t0) / steps * 1000.0
+
+    path = sorted(glob.glob(outdir + "/**/*.trace.json.gz",
+                            recursive=True))[-1]
+    with gzip.open(path, "rt") as f:
+        data = _json.load(f)
+    ev = data["traceEvents"] if isinstance(data, dict) else data
+    names = {}
+    for e in ev:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            names[e.get("pid")] = e["args"]["name"]
+    dev_pids = {p for p, v in names.items() if "TPU" in v}
+    busy = sum(e.get("dur", 0) for e in ev
+               if e.get("ph") == "X" and e.get("pid") in dev_pids
+               and e.get("name", "").startswith("jit_"))
+    return busy / 1e3 / steps, wall
+
+
 def _bounded_submetric(flag, key, timeout=900):
     """Run ``bench.py <flag>`` in a bounded subprocess and pull ``key``
     from its JSON line; ``None`` on any failure (a degraded compile
@@ -504,6 +559,18 @@ def main():
         # the classification config).
         seg_int8_clouds_per_sec = _bounded_submetric(
             "--mode=seg-int8", "value")
+    exact_knn_clouds_per_sec = None
+    eval_device_busy_ms = None
+    if os.environ.get("DELTACONV_BENCH_SKIP_DIAG") != "1":
+        # Semantic-parity headline: the SAME model with exact kNN
+        # (reference deltanet_base.py:52 semantics) — the headline
+        # above trades ~0.999-recall approximate kNN for speed
+        # (ADVICE r4: the apples-to-apples number must be on record).
+        exact_knn_clouds_per_sec = _bounded_submetric(
+            "--mode=exact-knn", "value")
+        # Attribution diagnostic: device-busy ms/step of the eval step.
+        eval_device_busy_ms = _bounded_submetric(
+            "--mode=device-busy", "eval_device_busy_ms")
     seg_train_step_ms = None
     if os.environ.get("DELTACONV_BENCH_SKIP_SEG_TRAIN") != "1":
         # Training is the reference's primary workload; the seg config
@@ -526,8 +593,8 @@ def main():
             "--mode=point-shard-train", "value", timeout=1400)
 
     print(json.dumps({
-        "metric": "clouds/sec (operator build + forward, 1024 pts, k=20, "
-                  "batch 32)",
+        "metric": "clouds/sec (operator build + forward, approx kNN, "
+                  "1024 pts, k=20, batch 32)",
         "value": round(clouds_per_sec, 1),
         "unit": "clouds/sec",
         "vs_baseline": round(
@@ -537,6 +604,8 @@ def main():
         "train_step_ms": (round(train_step_ms, 2)
                           if train_step_ms is not None else None),
         "int8_serving_clouds_per_sec": int8_clouds_per_sec,
+        "exact_knn_clouds_per_sec": exact_knn_clouds_per_sec,
+        "eval_device_busy_ms": eval_device_busy_ms,
         "seg_clouds_per_sec": seg_clouds_per_sec,
         "seg_int8_clouds_per_sec": seg_int8_clouds_per_sec,
         "seg_train_step_ms": seg_train_step_ms,
@@ -566,8 +635,9 @@ if __name__ == "__main__":
         _enable_compile_cache()
         w = bench_seg()
         print(json.dumps({
-            "metric": "clouds/sec (seg eval: build + forward, 2048 pts, "
-                      "k=30, conv [64,128,256] depth 2, batch 16)",
+            "metric": "clouds/sec (seg eval: build + forward, approx kNN, "
+                      "2048 pts, k=30, conv [64,128,256] depth 2, "
+                      "batch 16)",
             "value": round(statistics.median(w), 1),
             "unit": "clouds/sec",
             "windows": [round(x, 1) for x in w],
@@ -577,8 +647,8 @@ if __name__ == "__main__":
         ms = bench_seg_train()
         print(json.dumps({
             "metric": "train step ms (seg: build + fwd + bwd + update, "
-                      "2048 pts, k=30, conv [64,128,256] depth 2, "
-                      "batch 16)",
+                      "approx kNN, 2048 pts, k=30, conv [64,128,256] "
+                      "depth 2, batch 16)",
             "seg_train_step_ms": round(ms, 2),
             "value": round(ms, 2),
             "unit": "ms",
@@ -597,6 +667,28 @@ if __name__ == "__main__":
             "value": round(statistics.median(w), 1),
             "unit": "clouds/sec",
             "windows": [round(x, 1) for x in w],
+        }))
+    elif "--mode=exact-knn" in sys.argv:
+        # Exact-kNN semantics (reference deltanet_base.py:52) at the
+        # otherwise-identical headline config.
+        _enable_compile_cache()
+        w = bench_eval(knn_method="exact")
+        print(json.dumps({
+            "metric": "clouds/sec (exact kNN, 1024 pts, k=20, batch 32)",
+            "value": round(statistics.median(w), 1),
+            "unit": "clouds/sec",
+            "windows": [round(x, 1) for x in w],
+        }))
+    elif "--mode=device-busy" in sys.argv:
+        _enable_compile_cache()
+        busy, wall = bench_device_busy()
+        print(json.dumps({
+            "metric": "eval step device-busy ms (trace-derived)",
+            "eval_device_busy_ms": round(busy, 3),
+            "value": round(busy, 3),
+            "unit": "ms",
+            "wall_ms": round(wall, 3),
+            "duty_cycle": round(busy / wall, 3) if wall else None,
         }))
     elif "--mode=int8" in sys.argv:
         # Opt-in quantized serving form (geometry/dense.py int8 path):
@@ -617,7 +709,7 @@ if __name__ == "__main__":
         pps, ms = bench_point_shard()
         print(json.dumps({
             "metric": "points/sec (point-sharded fwd, ONE 65536-pt "
-                      "cloud, k=20, tiled local kNN, coefficient "
+                      "cloud, k=20, bucketed approx kNN, coefficient "
                       "operators)",
             "value": round(pps, 1),
             "unit": "points/sec",
@@ -628,8 +720,8 @@ if __name__ == "__main__":
         pps, ms = bench_point_shard_train()
         print(json.dumps({
             "metric": "points/sec (point-sharded TRAIN step, ONE "
-                      "65536-pt cloud, k=20, quantized tiled local "
-                      "kNN, coefficient operators)",
+                      "65536-pt cloud, k=20, bucketed approx kNN, "
+                      "coefficient operators)",
             "value": round(pps, 1),
             "unit": "points/sec",
             "ms_per_step": round(ms, 2),

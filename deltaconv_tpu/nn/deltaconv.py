@@ -42,6 +42,13 @@ _FORCE_FUSED_TRAIN = False
 # the gather kernels (A/B measurement + parity tests). Never set in
 # production.
 _FORCE_EPILOGUE_OFF = False
+# The fused centralized depth-2 TRAIN path (edge_delta_mlp): MEASURED
+# NEGATIVE on the seg config and off by default — 50.2 ms/step (stash
+# variant; 55.1 recompute variant) vs 44.7 ms for the edge-tensor
+# reference path (2026-08-20 traces, PERF.md "round 5"). The op and
+# its tests stay (the structure is right for shapes where the moments
+# gather and kernel passes amortize better); flip for A/B.
+_EDGE_FUSED_TRAIN = False
 
 
 def _epilogue_fusible(gd, dt, train):
@@ -99,6 +106,35 @@ def _masked_max_bwd(res, g):
 
 
 _masked_max.defvjp(_masked_max_fwd, _masked_max_bwd)
+
+
+@jax.custom_vjp
+def _masked_max_kmajor(h, mask):
+    """``_masked_max`` over axis -3 of a K-MAJOR edge block:
+    ``h [..., K, N, C], mask [..., K, N] -> [..., N, C]`` with the
+    same single-winner backward routing (no 100+ MB layout transpose
+    for edge_delta_mlp's output)."""
+    neg = jnp.asarray(-jnp.inf, h.dtype)
+    return jnp.max(jnp.where(mask[..., None], h, neg), axis=-3)
+
+
+def _masked_max_kmajor_fwd(h, mask):
+    neg = jnp.asarray(-jnp.inf, h.dtype)
+    masked = jnp.where(mask[..., None], h, neg)
+    winner = jnp.argmax(masked, axis=-3).astype(jnp.int32)  # [..., N, C]
+    return jnp.max(masked, axis=-3), (winner, h.shape[-3])
+
+
+def _masked_max_kmajor_bwd(res, g):
+    winner, k = res
+    k_iota = jnp.arange(k, dtype=jnp.int32).reshape(
+        (1,) * (winner.ndim - 2) + (k, 1, 1))
+    dh = jnp.where(k_iota == winner[..., None, :, :],
+                   g[..., None, :, :], 0.0)
+    return dh.astype(g.dtype), None
+
+
+_masked_max_kmajor.defvjp(_masked_max_kmajor_fwd, _masked_max_kmajor_bwd)
 
 
 def _aggregate(h, nbr_mask, aggr: str):
@@ -502,6 +538,7 @@ class DeepMaxMLP(lnn.Module):
         # the differentiable XLA BatchNorm_1 + max tail. Parameter
         # tree unchanged (lin{i}/bn{i}).
         fused_train = (train and not _FORCE_FUSED_OFF
+                       and (_EDGE_FUSED_TRAIN or _FORCE_FUSED_TRAIN)
                        and self.centralized and len(self.channels) == 2
                        and dt == jnp.bfloat16
                        and hasattr(gd, "nbr_max_affine")
@@ -520,8 +557,13 @@ class DeepMaxMLP(lnn.Module):
             # neighbor sums (EdgeMaxMLP's identities), no edge tensor.
             smask = (jnp.ones(gd.nbr_idx.shape, bool)
                      if stats_mask is None else stats_mask)
-            srt = gd.nbr_sum(jnp.concatenate([y32, y32 * y32], -1),
-                             smask)
+            # bf16 sum table: halves the one-hot contraction (f32
+            # tables pay the hi/lo split); the ~0.4% rounding on the
+            # per-point y/y^2 values shifts the batch moments well
+            # inside the fused path's documented bf16 tolerance.
+            srt = gd.nbr_sum(
+                jnp.concatenate([y32, y32 * y32], -1
+                                ).astype(jnp.bfloat16), smask)
             s1, s2 = srt[..., :c0], srt[..., c0:]
             cnt = jnp.sum(smask, -1).astype(jnp.float32)[..., None]
             e_total = jnp.maximum(jnp.sum(cnt), 1.0)
@@ -546,6 +588,8 @@ class DeepMaxMLP(lnn.Module):
             unbatched = gd.nbr_idx.ndim == 2
             yb = (y[None] if unbatched else y).astype(dt)
             idx = gd.nbr_idx[None] if unbatched else gd.nbr_idx
+            # K-MAJOR [..., K, N, C1] (the kernel's natural layout; no
+            # 100+ MB transpose in either direction).
             y1 = edge_delta_mlp(yb, a0, b0, w1, z0, idx,
                                 interpret=_FORCE_FUSED_INTERPRET)
             if unbatched:
@@ -554,8 +598,9 @@ class DeepMaxMLP(lnn.Module):
             # BatchNorm_1 over the edge population (masked like the
             # reference), then LeakyReLU + masked max — all plain XLA
             # autodiff over the single bf16 tensor.
+            mask_kn = jnp.swapaxes(gd.nbr_mask, -1, -2)  # [..., K, N]
             y1_32 = y1.astype(jnp.float32)
-            m_ = None if stats_mask is None else stats_mask[..., None]
+            m_ = None if stats_mask is None else mask_kn[..., None]
             lead1 = tuple(range(y1_32.ndim - 1))
             mean1 = jnp.mean(y1_32, lead1, where=m_)
             mean1sq = jnp.mean(y1_32 * y1_32, lead1, where=m_)
@@ -563,7 +608,67 @@ class DeepMaxMLP(lnn.Module):
             inv1, mean1_, bias1 = _BNStateHolder(name="bn1")(
                 c1, mean1, var1, True)
             h1 = leaky_relu02((y1_32 - mean1_) * inv1 + bias1)
-            return _aggregate(h1.astype(dt), gd.nbr_mask, "max")
+            out = _masked_max_kmajor(h1.astype(dt), mask_kn)
+            any_valid = jnp.any(gd.nbr_mask, axis=-1)[..., None]
+            return jnp.where(any_valid, out, 0.0).astype(dt)
+
+        def pad128_(c):
+            return -(-c // 128) * 128
+
+        # Non-centralized deep TRAIN path with a lane-narrower LAST
+        # layer: commute it through the max exactly like PointMaxMLP's
+        # fused_train branch — per-point prefix layers, then the
+        # sign-folded gather-then-matmul kernel at the PREFIX width
+        # with the single-winner VJP (the reference's last seg conv
+        # gathers 256-wide MLP outputs where its inputs are 128 wide:
+        # 6.5 + 5.3 ms of one-hot MXU at k=30/N=2048 halve).
+        last_in = self.channels[-2] if len(self.channels) > 1 \
+            else x.shape[-1]
+        fused_train_nc = (train and not _FORCE_FUSED_OFF
+                          and not self.centralized
+                          and dt == jnp.bfloat16
+                          and hasattr(gd, "nbr_matmul_max_train")
+                          and not getattr(gd, "_int8", False)
+                          and pad128_(last_in) < pad128_(self.channels[-1])
+                          and (_FORCE_FUSED_TRAIN
+                               or jax.default_backend() == "tpu"))
+        if fused_train_nc:
+            from .nonlin import BatchNorm
+
+            h = x
+            for i, ch in enumerate(self.channels[:-1]):
+                h = lnn.Dense(ch, use_bias=False, dtype=dt,
+                              kernel_init=torch_linear_kernel,
+                              name=f"lin{i}")(h)
+                h = BatchNorm(name=f"bn{i}",
+                              axis_name=self.axis_name)(
+                    h, train=train, mask=stats_mask)
+                h = leaky_relu02(h).astype(dt)
+            i_last = len(self.channels) - 1
+            w = _Kernel(self.channels[-1], name=f"lin{i_last}")(h)
+            # Per-point Dense feeds ONLY the BatchNorm batch moments
+            # (see PointMaxMLP's fused_train for the commute proof).
+            y = jnp.dot(h, w.astype(dt))
+            y32 = y.astype(jnp.float32)
+            m_ = stats_mask
+            if m_ is not None and m_.ndim == y.ndim - 1:
+                m_ = m_[..., None]
+            lead = tuple(range(y.ndim - 1))
+            mean = jnp.mean(y32, lead, where=m_)
+            mean2 = jnp.mean(y32 * y32, lead, where=m_)
+            if self.axis_name:
+                mean = jax.lax.pmean(mean, self.axis_name)
+                mean2 = jax.lax.pmean(mean2, self.axis_name)
+            var = mean2 - mean * mean
+            inv, mean_, bias = _BNStateHolder(name=f"bn{i_last}")(
+                self.channels[-1], mean, var, True)
+            sign = jnp.where(inv >= 0, 1.0, -1.0)
+            wp = (w * sign[None, :]).astype(dt)
+            mxp = gd.nbr_matmul_max_train(h, wp)
+            y_star = sign * mxp.astype(jnp.float32)
+            out = leaky_relu02((y_star - mean_) * inv + bias)
+            any_valid = jnp.any(gd.nbr_mask, axis=-1)[..., None]
+            return jnp.where(any_valid, out, 0.0).astype(dt)
 
         ddt = jnp.dtype(self.dtype) if self.dtype else None
         if self.centralized:

@@ -92,6 +92,72 @@ def make_release_checkpoint(path: str) -> None:
                 for k, v in sd.items()}, path)
 
 
+def make_shapenet_fixture(root: str, rng) -> None:
+    """A 2-category ShapeNet-part-layout raw tree (xyz+normal+label
+    text files + shuffled split lists), mirroring the real archive's
+    structure (reference experiments/datasets/shapenet.py)."""
+    import json
+
+    raw = os.path.join(root, "raw")
+    cat_ids = ["02691156", "02773838"]  # Airplane, Bag
+    names = []
+    for cid in cat_ids:
+        os.makedirs(os.path.join(raw, cid), exist_ok=True)
+        for i in range(4):
+            n = 2 * NUM_POINTS
+            nrm = rng.standard_normal((n, 3))
+            nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+            arr = np.concatenate(
+                [rng.random((n, 3)), nrm,
+                 rng.integers(0, 4, (n, 1)).astype(float)], axis=1)
+            np.savetxt(os.path.join(raw, cid, f"model{i}.txt"), arr)
+            names.append(f"shape_data/{cid}/model{i}")
+    split_dir = os.path.join(raw, "train_test_split")
+    os.makedirs(split_dir, exist_ok=True)
+    for split, sel in (("train", names[:4]), ("val", names[4:5]),
+                       ("test", names[5:])):
+        with open(os.path.join(split_dir,
+                               f"shuffled_{split}_file_list.json"),
+                  "w") as f:
+            json.dump(sel, f)
+    open(os.path.join(raw, ".extracted"), "w").close()
+
+
+def make_seg_release_checkpoint(path: str) -> None:
+    """A release-layout ``.pt`` for test_shapenet.py's EXACT model
+    (the shared ``shapenet_model`` builder with its pinned RECIPE)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from deltaconv_tpu.utils.torch_export import export_torch_state_dict
+
+    exp = os.path.join(REPO, "experiments")
+    if exp not in sys.path:
+        sys.path.insert(0, exp)
+    from train_shapenet import shapenet_model  # noqa: E402
+
+    class _Args:
+        k = K
+        grad_regularizer = 0.001
+        grad_kernel = 1.0
+        operator_dtype = "float32"
+        knn_method = "exact"
+
+    model = shapenet_model(_Args(), 50)
+    pos = jnp.zeros((2, NUM_POINTS, 3), jnp.float32)
+    cat = jnp.zeros((2, 16), jnp.float32).at[:, 0].set(1.0)
+    variables = jax.jit(
+        lambda p, c: model.init(jax.random.PRNGKey(0), p, category=c,
+                                train=False)
+    )(pos, cat)
+    sd = export_torch_state_dict(variables["params"],
+                                 variables["batch_stats"],
+                                 head="segmentation")
+    torch.save({k: torch.from_numpy(np.asarray(v).copy())
+                for k, v in sd.items()}, path)
+
+
 def main() -> int:
     rng = np.random.default_rng(0)
     with tempfile.TemporaryDirectory() as tmp:
@@ -102,7 +168,11 @@ def main() -> int:
 
         env = dict(os.environ)
         env["JAX_PLATFORMS"] = _PLATFORM
-        env["PYTHONPATH"] = REPO
+        # APPEND (not overwrite): environments may supply deps or
+        # device plugins via PYTHONPATH (ADVICE r4).
+        env["PYTHONPATH"] = os.pathsep.join(
+            [REPO] + ([env["PYTHONPATH"]] if env.get("PYTHONPATH")
+                      else []))
         env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
         env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
         # The SAME invocation as pretrained/modelnet40.sh, on the
@@ -135,6 +205,44 @@ def main() -> int:
             print("offline rehearsal: torch import skipped keys")
             return 1
         print("offline rehearsal: OK — .pt import + eval path exercised")
+
+        # ---- Segmentation / voting leg (round-5 directive): the SAME
+        # command ``pretrained/shapenet.sh`` runs — test_shapenet.py's
+        # 10-vote summed-logit evaluation (reference
+        # test_shapenet.py:79-96) — on a synthesized ShapeNet fixture
+        # + a release-layout seg checkpoint.
+        seg_root = os.path.join(tmp, "ShapeNet")
+        make_shapenet_fixture(seg_root, rng)
+        seg_ckpt = os.path.join(tmp, "shapenet.pt")
+        make_seg_release_checkpoint(seg_ckpt)
+        seg_cmd = [
+            sys.executable,
+            os.path.join(REPO, "experiments", "test_shapenet.py"),
+            "--checkpoint", seg_ckpt,
+            "--num_votes", "2",
+            "--num_points", str(NUM_POINTS),
+            "--k", str(K),
+            "--batch_size", str(BATCH),
+            "--data_root", seg_root,
+            "--logdir", os.path.join(tmp, "seg_logs"),
+            "--operator_dtype", "float32",
+            "--no_data_parallel",
+        ]
+        proc = subprocess.run(seg_cmd, capture_output=True, text=True,
+                              env=env, timeout=900)
+        sys.stdout.write(proc.stdout)
+        sys.stderr.write(proc.stderr[-4000:])
+        if proc.returncode != 0:
+            print("offline rehearsal (seg voting): FAILED")
+            return proc.returncode
+        if "Instance mIoU" not in proc.stdout:
+            print("offline rehearsal (seg voting): no mIoU line")
+            return 1
+        if "skipped keys" in proc.stdout:
+            print("offline rehearsal (seg voting): import skipped keys")
+            return 1
+        print("offline rehearsal: OK — seg .pt import + voting eval "
+              "path exercised")
         return 0
 
 

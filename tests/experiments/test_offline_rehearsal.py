@@ -24,7 +24,8 @@ def test_offline_rehearsal_runs():
     )
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
-    env["PYTHONPATH"] = repo
+    env["PYTHONPATH"] = os.pathsep.join(
+        [repo] + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else []))
     env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_test_cache"
     env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0.5"
     result = subprocess.run(
@@ -35,3 +36,7 @@ def test_offline_rehearsal_runs():
     assert result.returncode == 0, (result.stdout[-2000:],
                                     result.stderr[-2000:])
     assert "offline rehearsal: OK" in result.stdout
+    # Round-5: BOTH heads rehearse — classification --checkpoint eval
+    # AND the seg 2-vote summed-logit evaluation (test_shapenet.py).
+    assert "Instance mIoU" in result.stdout, result.stdout[-2000:]
+    assert "voting eval path exercised" in result.stdout

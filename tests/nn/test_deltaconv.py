@@ -279,6 +279,83 @@ def test_point_max_equal_lane_fused_eval_matches_reference(rng,
                                rtol=5e-2, atol=5e-2)
 
 
+def test_deep_max_nc_fused_train_matches_reference(rng, monkeypatch):
+    """DeepMaxMLP's NON-centralized commuted TRAIN branch (per-point
+    prefix layers + the sign-folded gather-then-matmul last layer at
+    prefix width — the seg model's last conv) must equal the reference
+    pipeline exactly like PointMaxMLP's: same outputs, same parameter
+    gradients, same updated BatchNorm statistics."""
+    import deltaconv_tpu.nn.deltaconv as dc
+    from deltaconv_tpu.nn.deltaconv import DeepMaxMLP
+
+    n = 200
+    pos, _, _, _, _, _, gd = _setup(rng, n, k=12)
+    x = jnp.asarray(rng.random((n, 6)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+
+    # channels (8, 16): last layer lane-narrower input on real lanes?
+    # The gate compares 128-padded widths, so use (120, 200) to make
+    # pad128(last_in)=128 < pad128(out)=256.
+    model = DeepMaxMLP((120, 200), centralized=False, dtype="bfloat16")
+    variables = model.init(jax.random.PRNGKey(0), x, gd, train=False)
+
+    point_mask = np.ones(n, bool)
+    point_mask[n - 20:] = False
+    point_mask = jnp.asarray(point_mask)
+
+    def run(params, fused, pmask):
+        monkeypatch.setattr(dc, "_FORCE_FUSED_TRAIN", fused)
+        try:
+            out, mut = model.apply(
+                {"params": params,
+                 "batch_stats": variables["batch_stats"]},
+                x, gd, train=True, stats_mask=pmask,
+                mutable=["batch_stats"])
+        finally:
+            monkeypatch.undo()
+        return out, mut["batch_stats"]
+
+    for pmask in (None, point_mask):
+        want, bs_want = run(variables["params"], False, pmask)
+        got, bs_got = run(variables["params"], True, pmask)
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(want, np.float32),
+                                   atol=2e-5,
+                                   err_msg=f"mask={pmask is not None}")
+        for lg, lw in zip(jax.tree_util.tree_leaves(bs_got),
+                          jax.tree_util.tree_leaves(bs_want)):
+            np.testing.assert_allclose(np.asarray(lg), np.asarray(lw),
+                                       atol=2e-5)
+
+    target = jnp.asarray(rng.random((n, 200)).astype(np.float32))
+
+    def loss_fn(params, fused):
+        monkeypatch.setattr(dc, "_FORCE_FUSED_TRAIN", fused)
+        try:
+            out, _ = model.apply(
+                {"params": params,
+                 "batch_stats": variables["batch_stats"]},
+                x, gd, train=True, mutable=["batch_stats"])
+        finally:
+            monkeypatch.undo()
+        return jnp.mean((out.astype(jnp.float32) - target) ** 2)
+
+    g_want = jax.grad(loss_fn)(variables["params"], False)
+    g_got = jax.grad(loss_fn)(variables["params"], True)
+    for lg, lw in zip(jax.tree_util.tree_leaves(g_got),
+                      jax.tree_util.tree_leaves(g_want)):
+        lg, lw = np.asarray(lg, np.float32), np.asarray(lw, np.float32)
+        # Near-tie winner flips are a real (documented) deviation: the
+        # reference rounds the ACTIVATION to bf16 before its max, which
+        # can merge two distinct products into a tie the commuted path
+        # does not have — outputs stay equal (same max value), but a
+        # sparse set of gradient entries reroute to the other winner.
+        # Bound the aggregate effect instead of elementwise equality.
+        num = np.linalg.norm(lg - lw)
+        den = np.linalg.norm(lw) + 1e-12
+        assert num / den < 2e-2, f"relative grad deviation {num/den}"
+
+
 def test_point_max_fused_train_matches_reference(rng, monkeypatch):
     """PointMaxMLP's commuted TRAIN branch (gather-then-matmul at C_in
     lanes + single-winner VJP, engaged on TPU when C_in is

@@ -35,10 +35,16 @@ def test_edge_delta_mlp_interpret_matches_reference(rng):
     y, a0, b0, w1, z0, idx = _data(rng)
     with jax.default_device(cpu):
         want = em._reference(y, a0, b0, w1, z0, idx)
-        got = em._pallas_fwd(y, a0, b0, w1, z0, idx, tile=32,
-                             interpret=True)
+        got, y0 = em._pallas_fwd(y, a0, b0, w1, z0, idx, tile=32,
+                                 interpret=True)
     np.testing.assert_array_equal(np.asarray(got, np.float32),
                                   np.asarray(want, np.float32))
+    # The stashed residual matches the reference edge values exactly.
+    yg = np.asarray(y, np.float32)[np.arange(2)[:, None, None],
+                                   np.asarray(idx)]
+    y0_ref = (yg - np.asarray(y, np.float32)[:, :, None])[:, :, 1:]
+    np.testing.assert_array_equal(
+        np.moveaxis(np.asarray(y0), 1, 2)[:, :y0_ref.shape[1]], y0_ref)
 
 
 def test_edge_delta_mlp_vjp_matches_autodiff(rng):
@@ -48,8 +54,9 @@ def test_edge_delta_mlp_vjp_matches_autodiff(rng):
     cotangent (the half-width route, ~2^-9 relative on dy)."""
     cpu = jax.devices("cpu")[0]
     y, a0, b0, w1, z0, idx = _data(rng)
+    # K-MAJOR target, matching the op's public [B, K, N, C] layout.
     t = jnp.asarray(np.random.default_rng(7).standard_normal(
-        (2, 96, 8, 12)).astype(np.float32))
+        (2, 8, 96, 12)).astype(np.float32))
 
     def loss_plain(args):
         out = em._reference(args[0], args[1], args[2], args[3],
