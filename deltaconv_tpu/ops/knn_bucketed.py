@@ -47,7 +47,7 @@ slot-permutation-invariant past the pinned self slot.
 row's candidate scores to 16 bits packed with the candidate lane and
 runs single-pass sweeps with no certificate — recall is the
 candidate-set recall times the 16-bit score granularity (measured
-0.996 at the default config on the 65k bench cloud; tests pin
+0.9945 at the default config on the 65k bench cloud; tests pin
 >= 0.99).
 """
 
@@ -207,7 +207,7 @@ def knn_topk_bucketed(pos_q, pos_t, k: int, row_offset=0,
       tile_c: bucket size (candidate granularity).
       m_tiles: candidate buckets per query tile — each row sweeps
         ``m_tiles * tile_c`` columns instead of ``Nt`` (defaults:
-        6,144 of 65,536 — a 10.7x sweep cut at 0.996 candidate recall
+        6,144 of 65,536 — a 10.7x sweep cut at 0.9945 measured recall
         on the bench cloud).
       quantized: packed-key sweeps, no certificate (recall-documented).
       repair_rows: exact-mode budget for per-row repairs before the
