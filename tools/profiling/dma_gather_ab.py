@@ -29,8 +29,8 @@ def _dma_kernel(idx_ref, tab_ref, out_ref, *, k, t):
         i = e // k
         kk = e % k
         v = idx_ref[0, i, kk]
-        row = pl.load(tab_ref, (0, pl.ds(v, 1), slice(None)))
-        pl.store(out_ref, (0, pl.ds(e, 1), slice(None)), row)
+        row = tab_ref[0, pl.ds(v, 1), :]
+        out_ref[0, pl.ds(e, 1), :] = row
         return 0
 
     jax.lax.fori_loop(0, t * k, body, 0)
