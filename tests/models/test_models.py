@@ -213,6 +213,50 @@ def test_seg_int8_operator_mode_logit_parity_cpu(rng):
     assert agree >= 0.995, agree
 
 
+def test_seg_int8_fused_deepmax_interpret_cpu(rng, monkeypatch):
+    """ADVICE r4: the fused DeepMaxMLP eval kernel stays ENGAGED under
+    int8 OPERATORS (the int8 trade lives in the operator applies, not
+    the gather — nn/deltaconv.py DeepMaxMLP), but that combination
+    only runs with backend=="tpu". Exercise it on CPU via the
+    interpret hook: fused int8+bf16 logits must track the unfused
+    int8+bf16 reference path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import deltaconv_tpu.nn.deltaconv as dc
+    from deltaconv_tpu.data import synthetic_classification_batch
+    from deltaconv_tpu.models import DeltaNetSegmentation
+
+    batch = synthetic_classification_batch(0, 2, 256, 8)
+    pos, nrm = jnp.asarray(batch["pos"]), jnp.asarray(batch["normal"])
+    cat = jnp.eye(16)[jnp.asarray(batch["label"]) % 16]
+    m8 = DeltaNetSegmentation(
+        num_classes=8, conv_channels=(16, 16, 32), mlp_depth=2,
+        categorical_vector=True, num_neighbors=12,
+        dense_operators=True, operator_dtype="int8",
+        compute_dtype="bfloat16")
+    variables = m8.init(jax.random.PRNGKey(0), pos, normal=nrm,
+                        category=cat, train=False)
+
+    def run(fused):
+        monkeypatch.setattr(dc, "_FORCE_FUSED_INTERPRET", fused)
+        monkeypatch.setattr(dc, "_FORCE_FUSED_OFF", not fused)
+        try:
+            return np.asarray(m8.apply(
+                variables, pos, normal=nrm, category=cat,
+                train=False), np.float32)
+        finally:
+            monkeypatch.undo()
+
+    want = run(False)
+    got = run(True)
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() < 0.05 * scale
+    agree = (np.argmax(got, -1) == np.argmax(want, -1)).mean()
+    assert agree >= 0.99, agree
+
+
 def test_int8_operator_mode_logit_parity_cpu(rng):
     """CPU (XLA-fallback) variant of the int8 serving-mode parity
     check in test_tpu_paths.py: quantized operators + quantized
