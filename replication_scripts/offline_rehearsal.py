@@ -229,7 +229,7 @@ def main() -> int:
             "--no_data_parallel",
         ]
         proc = subprocess.run(seg_cmd, capture_output=True, text=True,
-                              env=env, timeout=900)
+                              env=env, timeout=2100)
         sys.stdout.write(proc.stdout)
         sys.stderr.write(proc.stderr[-4000:])
         if proc.returncode != 0:

@@ -31,7 +31,11 @@ def test_offline_rehearsal_runs():
     result = subprocess.run(
         [sys.executable,
          os.path.join(repo, "replication_scripts", "offline_rehearsal.py")],
-        capture_output=True, text=True, env=env, timeout=900,
+        # The seg/voting leg evaluates test_shapenet.py's EXACT
+        # RECIPE-pinned model (conv [64,128,256]) — its CPU compiles
+        # run ~5-6 min alone on this 1-core host and longer under the
+        # full gate's memory pressure (timed out at 900 there).
+        capture_output=True, text=True, env=env, timeout=2400,
     )
     assert result.returncode == 0, (result.stdout[-2000:],
                                     result.stderr[-2000:])

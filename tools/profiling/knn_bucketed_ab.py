@@ -43,7 +43,8 @@ exact_ms, exact = timed(jax.jit(lambda p: knn_topk_table(p, p, K)))
 print(f"quadratic exact: {exact_ms:.1f} ms")
 refn = np.asarray(exact)
 
-configs = [(64, 256, 24), (64, 256, 16), (128, 512, 12), (64, 128, 48)]
+configs = [(64, 256, 24), (64, 256, 32), (128, 256, 24), (64, 512, 12),
+           (96, 256, 24)]
 if len(sys.argv) > 1:
     configs = [tuple(int(x) for x in sys.argv[1].split(","))]
 
