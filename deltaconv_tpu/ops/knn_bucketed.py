@@ -186,7 +186,7 @@ def _cand_kernel_q(srow_ref, posq_ref, sqq_ref, comb_ref, orig_ref,
     "interpret"))
 def knn_topk_bucketed(pos_q, pos_t, k: int, row_offset=0,
                       point_mask=None, tile_q: int = 64,
-                      tile_c: int = 256, m_tiles: int = 24,
+                      tile_c: int = 256, m_tiles=None,
                       quantized: bool = False, repair_rows: int = 2048,
                       interpret: bool = False):
     """k-nearest table columns via Morton-bucketed candidate sweeps.
@@ -206,9 +206,14 @@ def knn_topk_bucketed(pos_q, pos_t, k: int, row_offset=0,
       tile_q: Morton-consecutive queries per kernel step.
       tile_c: bucket size (candidate granularity).
       m_tiles: candidate buckets per query tile — each row sweeps
-        ``m_tiles * tile_c`` columns instead of ``Nt`` (defaults:
-        6,144 of 65,536 — a 10.7x sweep cut at 0.9945 measured recall
-        on the bench cloud).
+        ``m_tiles * tile_c`` columns instead of ``Nt``. Default is
+        mode-dependent (measured sweep, PERF.md round 5): 24 for the
+        approx mode (6,144 of 65,536 columns — 10.7x less sweep at
+        0.9945 recall on the bench cloud) and 32 for exact mode —
+        at 24 the per-row certificate failures exceed the repair
+        budget on the bench cloud and the call pays fast + FULL
+        fallback (299 ms); at 32 the repair path holds (91 ms wall
+        vs 275 for the quadratic exact sweep).
       quantized: packed-key sweeps, no certificate (recall-documented).
       repair_rows: exact-mode budget for per-row repairs before the
         full-sweep fallback engages.
@@ -219,6 +224,8 @@ def knn_topk_bucketed(pos_q, pos_t, k: int, row_offset=0,
         self_col = (jnp.asarray(row_offset, jnp.int32)
                     + jnp.arange(nq, dtype=jnp.int32))[:, None]
         return self_col[:, :k]
+    if m_tiles is None:
+        m_tiles = 24 if quantized else 32
     pos_q = pos_q.astype(jnp.float32)
     pos_t = pos_t.astype(jnp.float32)
     ks = k - 1
