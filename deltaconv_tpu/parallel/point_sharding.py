@@ -64,9 +64,14 @@ _KNN_TILE = 4096
 # (ops/knn_bucketed.py — the TPU-native analog of the reference's
 # KD-tree candidate generation, cpp/sampling.cpp:5-17): ~10x less
 # sweep work at 65k points. Exact mode stays exact through the
-# certificate + repair + fallback chain; approx mode documents ~0.996
+# certificate + repair + fallback chain; approx mode documents ~0.995
 # recall at the bench operating point. Tests shrink it.
 _KNN_BUCKETED_MIN = 16384
+# Test hook: take the bucketed branch on CPU backends in Pallas
+# interpret mode (integration coverage of the sharded build with the
+# bucketed kNN — the branch is otherwise TPU-only). Never set in
+# production.
+_FORCE_BUCKETED_INTERPRET = False
 
 
 def _knn_scores(pos_q, sq_q, pos_t, sq_t, rows, cols,
@@ -110,18 +115,23 @@ def _local_knn(pos_local, pos_full, k, offset, point_mask_full=None,
         _, idx = jax.lax.top_k(s, k)
         return idx.astype(jnp.int32)
 
-    if jax.default_backend() == "tpu":
-        if n_full >= _KNN_BUCKETED_MIN:
+    if jax.default_backend() == "tpu" or _FORCE_BUCKETED_INTERPRET:
+        if n_full >= _KNN_BUCKETED_MIN or _FORCE_BUCKETED_INTERPRET:
             # Morton-bucketed candidate sweep (ops/knn_bucketed.py):
             # each query row sweeps only the nearest spatial buckets.
             # Exact mode certifies per row and repairs/falls back, so
             # winner SETS still match the quadratic sweep; approx mode
             # is the recall-documented packed-key variant.
             from ..ops.knn_bucketed import knn_topk_bucketed
+            # Test-hook path shrinks the tiles to interpret-mode sizes;
+            # production keeps the tuned defaults.
+            kw = (dict(tile_q=32, tile_c=128, interpret=True)
+                  if _FORCE_BUCKETED_INTERPRET else {})
             return knn_topk_bucketed(pos_local, pos_full, k,
                                      row_offset=offset,
                                      point_mask=point_mask_full,
-                                     quantized=quantized)
+                                     quantized=quantized, **kw)
+
         # Column-tiled Pallas sweep: the [n_local, tile] score plane
         # stays in VMEM with a running top-k scratch (ops/knn_topk.py
         # knn_topk_table) — winner sets match the XLA scan below

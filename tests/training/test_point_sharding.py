@@ -359,6 +359,41 @@ def test_point_sharded_tiled_knn_matches_dense(rng, monkeypatch):
     np.testing.assert_allclose(got, want, atol=5e-4)
 
 
+def test_point_sharded_bucketed_knn_matches_dense(rng, monkeypatch):
+    """The Morton-bucketed candidate kNN (round 5; engaged above
+    _KNN_BUCKETED_MIN on TPU) inside the FULL point-sharded pipeline:
+    via the interpret hook, the exact bucketed branch must select the
+    same winner SETS as the dense path and reproduce the point-sharded
+    laplacian through the sharded build on the 8-device mesh."""
+    import deltaconv_tpu.parallel.point_sharding as ps
+
+    n, k = 512, 12
+    pos = jnp.asarray(rng.random((n, 3)).astype(np.float32))
+    nrm = jnp.asarray(rng.random((n, 3)).astype(np.float32))
+    nrm = nrm / jnp.linalg.norm(nrm, axis=-1, keepdims=True)
+    x = jnp.asarray(rng.random((n, 4)).astype(np.float32))
+
+    dense_idx = np.asarray(ps._local_knn(pos[:64], pos, k, 0))
+    monkeypatch.setattr(ps, "_KNN_TILE", 96)  # skip the short-table path
+    monkeypatch.setattr(ps, "_FORCE_BUCKETED_INTERPRET", True)
+    b_idx = np.asarray(ps._local_knn(pos[:64], pos, k, 0))
+    assert b_idx.shape == dense_idx.shape
+    for i in range(64):
+        assert b_idx[i, 0] == dense_idx[i, 0]
+        assert set(b_idx[i].tolist()) == set(dense_idx[i].tolist()), i
+
+    # Full sharded build + apply through the bucketed branch.
+    nbr, mask = knn(pos, k)
+    xb, yb = build_tangent_basis(nrm)
+    gd = build_grad_div(pos, nrm, xb, yb, nbr, mask)
+    want = np.asarray(laplacian(x, gd))
+    mesh = Mesh(np.asarray(jax.devices()), ("points",))
+    got = np.asarray(
+        point_sharded_laplacian(mesh, pos, x, k, normal=nrm)
+    )
+    np.testing.assert_allclose(got, want, atol=5e-4)
+
+
 @pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_point_sharded_knn_large_cloud(rng):
