@@ -13,10 +13,6 @@ import deltaconv_tpu.parallel.point_sharding as PS
 from deltaconv_tpu.ops.knn_bucketed import knn_topk_bucketed, morton_codes
 
 
-def _sets(a):
-    return [frozenset(int(c) for c in row) for c in [None] for row in a]
-
-
 def _assert_set_equal(got, ref):
     assert got.shape == ref.shape
     for i in range(got.shape[0]):

@@ -1,10 +1,19 @@
 """Round-5 eval-representation attempt #2 (r4 verdict item 3): a
 Pallas dynamic row-gather — per-edge rows copied from the VMEM-resident
 feature table by scalar dynamic slices — vs the one-hot MXU gather
-(ops/gather_rows) at the headline conv shape. The one-hot gather pays
-K compare passes + a [K*T, N] @ [N, C] contraction; a row-copy gather
-pays pure data movement but one loop iteration per edge. Run with
-``PYTHONPATH=/root/repo:$PYTHONPATH``."""
+(ops/gather_rows) at the headline conv shape.
+
+RESULT (2026-08-20, the closing negative — PERF.md round 5): the
+dynamic row-copy kernel DOES NOT COMPILE on v5e — Mosaic requires
+dynamically indexed vector loads to be provably sublane(8)-aligned
+("cannot statically prove that index in dimension 1 is a multiple
+of 8"); arbitrary per-edge row addressing from VMEM is not
+expressible, which is why the one-hot MXU matmul is the TPU-native
+gather. Kept as the compiled-attempt artifact; run with
+``PYTHONPATH=/root/repo:$PYTHONPATH`` to reproduce the rejection.
+(The one-hot timing this script prints is NOT comparable to the
+in-model kernels — isolated microbenches inflate on this tunnel,
+see PERF.md measurement notes.)"""
 import functools
 import statistics
 import time

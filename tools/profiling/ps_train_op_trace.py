@@ -56,7 +56,8 @@ if __name__ == "__main__":
     import eval_op_trace
     eval_op_trace.STEPS = STEPS
     method = sys.argv[1] if len(sys.argv) > 1 else "approx"
-    out = f"/tmp/ps_train_trace_{method}"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 65536
+    out = f"/tmp/ps_train_trace_{method}_{n}"
     bench._enable_compile_cache()
-    main(method, outdir=out)
+    main(method, n=n, outdir=out)
     report(out, top=45)
