@@ -24,6 +24,14 @@ the MXU product — dominates the streaming kernels, and one build
 serves both the forward matmul and the transposed VJP matmul (no
 backward rebuild). Larger batch*cloud products keep the streaming
 kernels' O(N*K) memory.
+
+NOTE (ADVICE r4): the PRIMAL (non-differentiated) forward always
+streams, while the VJP forward takes the dense-adjacency path at
+headline sizes — both are exact f32 contractions, but their summation
+ORDER differs, so eval and grad-traced forwards of the same inputs
+can differ in the last ulp of f32 reassociation. Deliberate (the
+primal never pays the adjacency build); a future bit-parity test
+should not chase it.
 """
 
 from __future__ import annotations
